@@ -1,0 +1,251 @@
+"""SO(3) math primitives, batched and jit-friendly.
+
+TPU-native re-design of the reference's rotation utilities
+(reference: gym_rotor/envs/quad_utils.py:80-240).  Everything here is a pure
+function of jnp arrays, shape-polymorphic over leading batch dimensions, and
+dtype-polymorphic (float32 fast path / float64 parity path).
+
+Two re-orthonormalization strategies are provided:
+
+* ``ensure_so3_exact`` mirrors the reference semantics bit-for-bit in float64:
+  a *conditional* proper-SVD projection applied only when R has drifted beyond
+  tolerance (reference quad_utils.py:123-142, psvd :226-240).
+* ``polar_fast`` is the TPU throughput path: an unconditional Newton iteration
+  for the orthogonal polar factor.  For R near SO(3) it converges to the same
+  matrix the reference's ``psvd``-based repair produces (the special polar
+  factor U Vᵀ), but uses only 3x3 matmuls + a closed-form inverse, which XLA
+  fuses into the surrounding step kernel — no per-element SVD loops on device.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Basis vectors (constructed at trace time in the caller's dtype).
+E1 = (1.0, 0.0, 0.0)
+E2 = (0.0, 1.0, 0.0)
+E3 = (0.0, 0.0, 1.0)
+
+
+def e3(dtype=jnp.float32):
+    return jnp.array(E3, dtype=dtype)
+
+
+def hat(w):
+    """Hat map R^3 -> so(3).  (reference quad_utils.py:80-85)
+
+    Supports leading batch dims: (..., 3) -> (..., 3, 3).
+    """
+    w1, w2, w3 = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(w1)
+    return jnp.stack(
+        [
+            jnp.stack([z, -w3, w2], axis=-1),
+            jnp.stack([w3, z, -w1], axis=-1),
+            jnp.stack([-w2, w1, z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def vee(M):
+    """Vee map so(3) -> R^3, inverse of hat.  (reference quad_utils.py:88-94)"""
+    return jnp.stack([M[..., 2, 1], M[..., 0, 2], M[..., 1, 0]], axis=-1)
+
+
+def cross(a, b):
+    """Explicit cross product (fixed operation order for parity)."""
+    return jnp.stack(
+        [
+            a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+            a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+        ],
+        axis=-1,
+    )
+
+
+def psvd(A):
+    """Proper SVD with det-sign correction.  (reference quad_utils.py:226-240)
+
+    Returns (U, s, V) such that A = U diag(s) Vᵀ with det(U)=det(V)=+1.
+    """
+    U, s, Vh = jnp.linalg.svd(A)
+    detU = jnp.linalg.det(U)
+    detV = jnp.linalg.det(Vh)  # det(Vh) == det(V)
+    U = U.at[..., :, 2].multiply(detU[..., None])
+    Vh = Vh.at[..., 2, :].multiply(detV[..., None])
+    s = s.at[..., 2].multiply(detU * detV)
+    return U, s, jnp.swapaxes(Vh, -1, -2)
+
+
+def project_so3_svd(R):
+    """Nearest rotation via proper SVD: U Vᵀ (reference quad_utils.py:140-142)."""
+    U, _, V = psvd(R)
+    return U @ jnp.swapaxes(V, -1, -2)
+
+
+def is_rotation(R, tol=1e-5):
+    """Reference's drift check (quad_utils.py:134-137):
+    allclose(RᵀR, I, rtol=tol, atol=tol) and isclose(det(R), 1, rtol=tol).
+
+    numpy allclose(a, b) == all(|a-b| <= atol + rtol*|b|); b is the identity.
+    """
+    RtR = jnp.swapaxes(R, -1, -2) @ R
+    I = jnp.eye(3, dtype=R.dtype)
+    ortho = jnp.all(jnp.abs(RtR - I) <= tol + tol * I, axis=(-1, -2))
+    # np.isclose(det, 1., rtol=tol) uses default atol=1e-8
+    det_ok = jnp.abs(jnp.linalg.det(R) - 1.0) <= 1e-8 + tol * 1.0
+    return jnp.logical_and(ortho, det_ok)
+
+
+def ensure_so3_exact(R, tol=1e-5):
+    """Conditional repair, mirroring reference quad_utils.py:123-142
+    semantics: bitwise passthrough when R is within tolerance of SO(3),
+    projection to the special polar factor otherwise.
+
+    The projection itself uses a *deterministic* Newton polar iteration
+    rather than LAPACK SVD so the NumPy oracle can reproduce it bit-for-bit
+    (LAPACK builds differ between numpy and jaxlib); it agrees with the
+    reference's psvd-based repair to ~1e-16, which the golden
+    test-vs-reference tolerance absorbs.
+
+    The branch is computed unconditionally and selected — under vmap/jit a
+    lax.cond would become a select anyway.  Use only on the parity path.
+    """
+    repaired = polar_fast(R, iters=6)
+    ok = is_rotation(R, tol)
+    return jnp.where(ok[..., None, None], R, repaired)
+
+
+def inv3(M):
+    """Closed-form 3x3 inverse via adjugate (batch-friendly, no LU loop)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def polar_fast(R, iters: int = 2):
+    """Unconditional Newton iteration for the orthogonal polar factor.
+
+    R_{k+1} = (R_k + R_k^{-T}) / 2 converges quadratically to U Vᵀ (the
+    special polar factor, identical to the reference's psvd repair for
+    det(R) > 0).  Two iterations take drift of 1e-3 below 1e-9.
+    """
+    for _ in range(iters):
+        R = 0.5 * (R + jnp.swapaxes(inv3(R), -1, -2))
+    return R
+
+
+def rot_x(a):
+    c, s = jnp.cos(a), jnp.sin(a)
+    z, o = jnp.zeros_like(a), jnp.ones_like(a)
+    return jnp.stack(
+        [
+            jnp.stack([o, z, z], axis=-1),
+            jnp.stack([z, c, -s], axis=-1),
+            jnp.stack([z, s, c], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rot_y(a):
+    c, s = jnp.cos(a), jnp.sin(a)
+    z, o = jnp.zeros_like(a), jnp.ones_like(a)
+    return jnp.stack(
+        [
+            jnp.stack([c, z, s], axis=-1),
+            jnp.stack([z, o, z], axis=-1),
+            jnp.stack([-s, z, c], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rot_z(a):
+    c, s = jnp.cos(a), jnp.sin(a)
+    z, o = jnp.zeros_like(a), jnp.ones_like(a)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, z], axis=-1),
+            jnp.stack([s, c, z], axis=-1),
+            jnp.stack([z, z, o], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def euler_to_rot(euler):
+    """R = Rz @ Ry @ Rx — matches reference eulerAnglesToRotationMatrix
+    (quad_utils.py:180-196) and scipy Rotation.from_euler('xyz', ...)
+    extrinsic convention used in reset (quad.py:199).
+    """
+    return rot_z(euler[..., 2]) @ (rot_y(euler[..., 1]) @ rot_x(euler[..., 0]))
+
+
+def rot_to_euler(R):
+    """Inverse of euler_to_rot (reference quad_utils.py:208-223), with the
+    singular branch expressed as a select.  Returns (roll, pitch, yaw)."""
+    sy = jnp.sqrt(R[..., 0, 0] * R[..., 0, 0] + R[..., 1, 0] * R[..., 1, 0])
+    singular = sy < 1e-6
+    x_ns = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
+    z_ns = jnp.arctan2(R[..., 1, 0], R[..., 0, 0])
+    x_s = jnp.arctan2(-R[..., 1, 2], R[..., 1, 1])
+    y = jnp.arctan2(-R[..., 2, 0], sy)
+    x = jnp.where(singular, x_s, x_ns)
+    z = jnp.where(singular, jnp.zeros_like(z_ns), z_ns)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def heading_b1(R):
+    """Projected heading direction of body x-axis onto the horizontal plane,
+    renormalized (reference quad_utils.py:97-101)."""
+    b1 = R[..., :, 0]
+    theta = jnp.arctan2(b1[..., 1], b1[..., 0])
+    return jnp.stack(
+        [jnp.cos(theta), jnp.sin(theta), jnp.zeros_like(theta)], axis=-1
+    )
+
+
+def heading_rd(R):
+    """Projected yaw-only rotation matrix (reference quad_utils.py:104-120)."""
+    b1 = R[..., :, 0]
+    theta = jnp.arctan2(b1[..., 1], b1[..., 0])
+    return rot_z(theta)
+
+
+def norm_ang_btw_two_vectors(desired, current):
+    """Signed angle between two vectors normalized to [-1, 1)
+    (reference quad_utils.py:157-177): acos of the clipped dot product with
+    the sign of the z-component of the cross product."""
+    du = desired / jnp.linalg.norm(desired, axis=-1, keepdims=True)
+    cu = current / jnp.linalg.norm(current, axis=-1, keepdims=True)
+    dot = jnp.clip(jnp.sum(du * cu, axis=-1), -1.0, 1.0)
+    ang = jnp.arccos(dot)
+    sign = jnp.sign(cross(du, cu)[..., 2])
+    ang = jnp.where(sign < 0, -ang, ang)
+    return ang / jnp.pi
+
+
+def ang_btw_two_vectors(v1, v2):
+    """Unsigned angle between two vectors (reference quad_utils.py:145-154)."""
+    u1 = v1 / jnp.linalg.norm(v1, axis=-1, keepdims=True)
+    u2 = v2 / jnp.linalg.norm(v2, axis=-1, keepdims=True)
+    dot = jnp.clip(jnp.sum(u1 * u2, axis=-1), -1.0, 1.0)
+    ang = jnp.arccos(dot)
+    return jnp.where(ang < 1e-6, jnp.zeros_like(ang), ang)
