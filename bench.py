@@ -1,0 +1,68 @@
+"""Throughput benchmark: batched env engine steps/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is aggregate env-steps/s at cfg.num_envs lockstep envs (MONO task,
+RK4 integrator, trajectory generation + auto-reset compiled in, random
+policy).  vs_baseline is measured against BASELINE.md's 10M env-steps/s
+target (the reference itself is a single-env CPU loop at ~1e3-1e4 steps/s and
+publishes no throughput numbers — see BASELINE.md).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gym_rotor_tpu.envs import batch
+from gym_rotor_tpu.utils.config import Config
+
+TARGET = 1e7  # env-steps/s north star (BASELINE.json)
+
+
+def main():
+    cfg = Config(framework="MONO", integrator="rk4", num_envs=4096,
+                 max_steps=4000)
+    key = jax.random.PRNGKey(0)
+    bs, obs = jax.jit(
+        lambda k: batch.batched_reset(cfg, k), static_argnums=()
+    )(key)
+
+    n_act = cfg.num_envs
+
+    def policy(_, ob, k):
+        return jax.random.uniform(k, (n_act, 4), jnp.float32, -0.1, 0.1)
+
+    steps_per_call = 200
+
+    @jax.jit
+    def run(b, o, k):
+        b, o, trs, outs = batch.rollout(cfg, b, o, k, policy, None,
+                                        steps_per_call)
+        # return a small reduction so the scan isn't dead-code eliminated
+        return b, o, outs.reward.sum()
+
+    # warmup/compile
+    bs, obs, _ = run(bs, obs, jax.random.PRNGKey(1))
+    jax.block_until_ready(bs.env.x)
+
+    iters = 5
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(iters):
+        bs, obs, s = run(bs, obs, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(bs.env.x)
+    dt = time.perf_counter() - t0
+
+    total_steps = cfg.num_envs * steps_per_call * iters
+    rate = total_steps / dt
+    print(json.dumps({
+        "metric": "env_steps_per_sec",
+        "value": rate,
+        "unit": "steps/s",
+        "vs_baseline": rate / TARGET,
+    }))
+
+
+if __name__ == "__main__":
+    main()

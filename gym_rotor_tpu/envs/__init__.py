@@ -1,7 +1,10 @@
-from . import dynamics, oracle, params, quad, state
+from . import batch, dynamics, oracle, params, quad, state, trajectory
+from .batch import (BatchedEnvState, BatchedStepOut, Transition,
+                    batched_reset, batched_step, rollout)
 from .params import QuadParams, nominal, randomize
 from .quad import StepOut, initial_obs, reset, set_goal, step
 from .state import EnvState, Goal, pack_state, unpack_state
+from .trajectory import TrajState, get_desired, mark_traj_start
 
 
 def state_from_oracle(cfg, o, dtype=None):

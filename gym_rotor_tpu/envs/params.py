@@ -58,7 +58,20 @@ def _derive(m, d, J, c_tf, c_tw, dtype):
         ],
         axis=-2,
     ).astype(dtype)
-    fM_to_forces = jnp.linalg.inv(forces_to_fM)
+    # Closed-form inverse of the plus-configuration mixing matrix (avoids a
+    # batched LU on TPU):  f_i = f/4 ± M1/(2d) ± M2/(2d) ± M3/(4 c_tf).
+    q = 0.25 * o
+    hd = 1.0 / (2.0 * d)
+    qc = 1.0 / (4.0 * c_tf)
+    fM_to_forces = jnp.stack(
+        [
+            jnp.stack([q, z, hd, -qc], axis=-1),
+            jnp.stack([q, -hd, z, qc], axis=-1),
+            jnp.stack([q, z, -hd, -qc], axis=-1),
+            jnp.stack([q, hd, z, qc], axis=-1),
+        ],
+        axis=-2,
+    ).astype(dtype)
     return QuadParams(
         m=m, d=d, J=J, c_tf=c_tf, c_tw=c_tw,
         hover_force=hover_force, min_force=min_force, max_force=max_force,
