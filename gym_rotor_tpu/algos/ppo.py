@@ -1,0 +1,254 @@
+"""PPO learner (reference algos/ppo/ppo.py:13-243).
+
+GAE(lambda) advantages computed by a reverse lax.scan over the T_horizon
+rollout, clipped-surrogate actor updates and L2-regularized critic updates
+over K_epochs of shuffled minibatches, decaying entropy bonus, CAPS +
+spectral regularizers, CTDE centralized V(s) branch.
+
+Divergence (documented): the reference iterates ceil(T/mb) minibatches with a
+ragged final slice (ppo.py:152-168); we use T//mb equal-size minibatches per
+epoch (the remainder is dropped for that epoch's permutation — different
+rows each epoch), which keeps the update a single fused scan.
+"""
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..utils.config import Config
+from ..models import mlp
+from . import regularizers
+from .common import make_optimizer, soft_update
+from .td3 import ModelDefs
+
+
+@struct.dataclass
+class PPOState:
+    actor: Any
+    critic: Any
+    actor_opt: Any
+    critic_opt: Any
+    entropy_coef: jnp.ndarray
+    total_it: jnp.ndarray
+
+
+class Horizon(NamedTuple):
+    """One T_horizon on-policy segment per agent (replay_buffer acting as a
+    sequential rollout buffer, replay_buffer.py:14-16)."""
+    obs: tuple          # per-agent (T, obs_dim)
+    act: tuple          # per-agent (T, act_dim)
+    rwd: tuple          # per-agent (T, 1)
+    next_obs: tuple
+    done: tuple         # per-agent (T, 1)
+    logprob: tuple      # per-agent (T, act_dim)
+
+
+class PPOAgent:
+    def __init__(self, cfg: Config, agent_id: int, defs: ModelDefs):
+        self.cfg = cfg
+        self.agent_id = agent_id
+        self.defs = defs
+        self.obs_dim = cfg.obs_dim_n[agent_id]
+        self.action_dim = cfg.action_dim_n[agent_id]
+        self.is_ctde = (cfg.framework == "MODUL"
+                        and cfg.module_training == "CTDE")
+        self.actor_tx = make_optimizer(cfg, cfg.lr_a[agent_id])
+        self.critic_tx = make_optimizer(cfg, cfg.lr_c[agent_id])
+
+    def init(self, key: jax.Array) -> PPOState:
+        cfg = self.cfg
+        ka, kc = jax.random.split(key)
+        obs = jnp.zeros((1, self.obs_dim), jnp.float32)
+        actor = self.defs.actor_def.init(ka, obs)
+        cdim = sum(cfg.obs_dim_n) if self.is_ctde else self.obs_dim
+        critic = self.defs.critic_def.init(
+            kc, jnp.zeros((1, cdim), jnp.float32))
+        return PPOState(
+            actor=actor, critic=critic,
+            actor_opt=self.actor_tx.init(actor),
+            critic_opt=self.critic_tx.init(critic),
+            entropy_coef=jnp.asarray(cfg.entropy_coef, jnp.float32),
+            total_it=jnp.zeros((), jnp.int32),
+        )
+
+    def dist(self, actor_params, obs):
+        return self.defs.actor_def.apply(actor_params, obs)
+
+    def choose_action(self, state: PPOState, obs, key, is_eval=False):
+        """(action, per-dim logprob) (ppo.py:82-102)."""
+        mean, log_std = self.dist(state.actor, obs)
+        if is_eval:
+            a = jnp.clip(mean, -self.cfg.max_action, self.cfg.max_action)
+            return a, jnp.zeros_like(a)
+        a = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+        a = jnp.clip(a, -self.cfg.max_action, self.cfg.max_action)
+        logp = mlp.gaussian_logprob(mean, log_std, a)
+        return a, logp
+
+
+def gae(cfg: Config, values, next_values, rewards, dones):
+    """Generalized Advantage Estimation (ppo.py:124-146) via reverse scan."""
+    deltas = rewards + cfg.discount * next_values * (1.0 - dones) - values
+
+    def body(carry, xs):
+        delta, done = xs
+        adv = delta + cfg.discount * (1.0 - done) * cfg.GAE_lambda * carry
+        return adv, adv
+
+    _, advs = jax.lax.scan(body, jnp.zeros_like(deltas[0]),
+                           (deltas, dones), reverse=True)
+    td_targets = advs + values
+    advs = (advs - advs.mean()) / (advs.std() + 1e-4)
+    return advs, td_targets
+
+
+def train_step(cfg: Config, agents: Sequence[PPOAgent],
+               states: List[PPOState], data: Horizon, key: jax.Array):
+    new_states = list(states)
+    metrics = {}
+    for i in range(len(agents)):
+        key, sub = jax.random.split(key)
+        new_states[i], m = _train_one(cfg, agents, new_states, i, data, sub)
+        metrics.update({f"agent{i}/{k}": v for k, v in m.items()})
+    return new_states, metrics
+
+
+def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
+               key: jax.Array):
+    agent = agents[i]
+    state = states[i]
+
+    if agent.is_ctde:
+        v_obs = jnp.concatenate(data.obs, axis=-1)
+        v_next_obs = jnp.concatenate(data.next_obs, axis=-1)
+    else:
+        v_obs, v_next_obs = data.obs[i], data.next_obs[i]
+
+    values = agent.defs.critic_def.apply(state.critic, v_obs)
+    next_values = agent.defs.critic_def.apply(state.critic, v_next_obs)
+    # GAE scans over the time axis; with batched envs ((T, B, ...) arrays)
+    # the scan carry is (B, 1) so every env's advantage chain is independent.
+    advs, td_targets = gae(cfg, values, next_values, data.rwd[i],
+                           data.done[i])
+    advs = jax.lax.stop_gradient(advs)
+    td_targets = jax.lax.stop_gradient(td_targets)
+
+    entropy_coef = state.entropy_coef * cfg.entropy_coef_decay  # ppo.py:149
+
+    obs_i, act_i, logp_old_i = data.obs[i], data.act[i], data.logprob[i]
+    next_obs_i = data.next_obs[i]
+    if obs_i.ndim == 3:
+        # flatten (T, B, d) -> (T*B, d) after GAE
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        obs_i, act_i, logp_old_i = flat(obs_i), flat(act_i), flat(logp_old_i)
+        next_obs_i, v_obs = flat(next_obs_i), flat(v_obs)
+        advs, td_targets = flat(advs), flat(td_targets)
+    T = obs_i.shape[0]
+
+    n_mb_a = max(T // cfg.actor_batch_size, 1)
+    n_mb_c = max(T // cfg.critic_batch_size, 1)
+    mb_a = min(cfg.actor_batch_size, T)
+    mb_c = min(cfg.critic_batch_size, T)
+
+    def epoch_body(carry, ek):
+        actor, aopt, critic, copt = carry
+        k_perm, k_caps, k_spec = jax.random.split(ek, 3)
+        perm = jax.random.permutation(k_perm, T)
+
+        # ---- actor minibatches (ppo.py:166-190)
+        def actor_mb(carry, idx):
+            actor, aopt = carry
+            o = obs_i[idx]
+            a = act_i[idx]
+            lp_old = logp_old_i[idx]
+            ad = advs[idx]
+            no = next_obs_i[idx]
+
+            def loss_fn(ap):
+                mean, log_std = agent.dist(ap, o)
+                entropy = jnp.sum(mlp.gaussian_entropy(log_std), axis=-1,
+                                  keepdims=True)
+                lp = mlp.gaussian_logprob(mean, log_std, a)
+                ratio = jnp.exp(lp.sum(-1, keepdims=True)
+                                - lp_old.sum(-1, keepdims=True))
+                s1 = ratio * ad
+                s2 = jnp.clip(ratio, 1.0 - cfg.clip_rate,
+                              1.0 + cfg.clip_rate) * ad
+                loss = -(jnp.minimum(s1, s2) + entropy_coef * entropy).mean()
+                if agent.defs.actor_spectral is not None:
+                    ws, extras = agent.defs.actor_spectral(ap)
+                    loss = loss + 1e-5 * \
+                        regularizers.spectral_norm_regularization(
+                            ws, k_spec, extras)
+                loss = loss + regularizers.caps_regularization(
+                    cfg, agent.agent_id,
+                    lambda oo: agent.dist(ap, oo)[0], o, no, k_caps)
+                return loss
+
+            al, ag = jax.value_and_grad(loss_fn)(actor)
+            au, aopt = agent.actor_tx.update(ag, aopt, actor)
+            actor = optax.apply_updates(actor, au)
+            return (actor, aopt), al
+
+        idxs_a = perm[: n_mb_a * mb_a].reshape(n_mb_a, mb_a)
+        (actor, aopt), alosses = jax.lax.scan(actor_mb, (actor, aopt), idxs_a)
+
+        # ---- critic minibatches (ppo.py:192-214)
+        def critic_mb(carry, idx):
+            critic, copt = carry
+            vo = v_obs[idx]
+            tt = td_targets[idx]
+
+            def loss_fn(cp):
+                loss = jnp.mean((agent.defs.critic_def.apply(cp, vo) - tt) ** 2)
+                # L2 on kernels ('weight' params, ppo.py:202-204)
+                l2 = sum(jnp.sum(w ** 2) for w in _kernels(cp))
+                loss = loss + cfg.l2_reg * l2
+                if agent.defs.critic_spectral is not None:
+                    ws, extras = agent.defs.critic_spectral(cp)
+                    loss = loss + 1e-10 * \
+                        regularizers.spectral_norm_regularization(
+                            ws, k_spec, extras)
+                return loss
+
+            cl, cg = jax.value_and_grad(loss_fn)(critic)
+            cu, copt = agent.critic_tx.update(cg, copt, critic)
+            critic = optax.apply_updates(critic, cu)
+            return (critic, copt), cl
+
+        idxs_c = perm[: n_mb_c * mb_c].reshape(n_mb_c, mb_c)
+        (critic, copt), closses = jax.lax.scan(critic_mb, (critic, copt),
+                                               idxs_c)
+        return (actor, aopt, critic, copt), (alosses[-1], closses[-1])
+
+    ekeys = jax.random.split(key, cfg.K_epochs)
+    (actor, aopt, critic, copt), (alosses, closses) = jax.lax.scan(
+        epoch_body, (state.actor, state.actor_opt, state.critic,
+                     state.critic_opt), ekeys)
+
+    new_state = PPOState(
+        actor=actor, critic=critic, actor_opt=aopt, critic_opt=copt,
+        entropy_coef=entropy_coef, total_it=state.total_it + 1,
+    )
+    return new_state, {"actor_loss": alosses[-1], "critic_loss": closses[-1]}
+
+
+def _kernels(params):
+    """All Dense kernels in a flax param tree (the reference's 'weight'
+    parameters, ppo.py:202-204)."""
+    out = []
+
+    def visit(p):
+        if isinstance(p, dict):
+            for k, v in p.items():
+                if k == "kernel":
+                    out.append(v)
+                else:
+                    visit(v)
+
+    visit(params if isinstance(params, dict) else dict(params))
+    return out

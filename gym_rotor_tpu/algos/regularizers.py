@@ -1,0 +1,87 @@
+"""Actor-loss regularizers: CAPS action smoothness + spectral norm.
+
+* ``caps_regularization`` — temporal/spatial/magnitude smoothness terms added
+  to the actor loss (reference algos/policy_regularization.py:6-52):
+  lam_T ||pi(s) - pi(s')||^2 + lam_S ||pi(s) - pi(s + eps)||^2 (eps a single
+  N(0, 0.05^2) vector broadcast over the batch, :20-21) +
+  lam_M ||pi(s) - a_hover||^2 with the per-framework nominal hover action
+  (:30-47).
+* ``spectral_norm_regularization`` — power-iteration estimate of each
+  layer's top singular value, summed squared (reference
+  algos/spectral_norm_regularization.py:4-45); weighted 1e-5 (actors) /
+  1e-8 (critics) / 1e-10 (PPO critics) by the callers.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..envs import params as params_lib
+
+
+def hover_action_scalar(p=None) -> float:
+    """Normalized hover total-thrust action: interp(4*hover_force,
+    [4*min, 4*max], [-1, 1]) (policy_regularization.py:31-34).  Uses nominal
+    parameters — the reference reads the env's current randomized values; at
+    TPU batch scale the per-episode params differ per env, and the UDM
+    distribution is centered on nominal."""
+    hover = params_lib.M_NOMINAL * params_lib.G_STD / 4.0
+    lo = params_lib.MIN_FORCE
+    hi = params_lib.C_TW_NOMINAL * hover
+    return float((hover - lo) / (hi - lo) * 2.0 - 1.0)
+
+
+def nominal_action(framework: str, agent_id: int, batch: int, action_dim: int,
+                   dtype=jnp.float32):
+    """Per-framework hover-nominal action (policy_regularization.py:30-47)."""
+    a = jnp.zeros((batch, action_dim), dtype)
+    if framework == "MONO" or (framework == "MODUL" and agent_id == 0):
+        a = a.at[:, 0].set(hover_action_scalar())
+    # MODUL agent 1: zeros (M3_hover = 0)
+    return a
+
+
+def caps_regularization(cfg, agent_id, act_fn, batch_obs, batch_obs_next,
+                        key):
+    """Return lam_T*L_T + lam_S*L_S + lam_M*L_M for the given actor callable
+    ``act_fn(obs) -> action in [-1,1]`` (already clamped by caller)."""
+    act = jnp.clip(act_fn(batch_obs), -cfg.max_action, cfg.max_action)
+    act_next = jnp.clip(act_fn(batch_obs_next), -cfg.max_action,
+                        cfg.max_action)
+    loss_T = jnp.mean((act - act_next) ** 2)
+
+    noise = 0.05 * jax.random.normal(key, (1, batch_obs.shape[-1]),
+                                     batch_obs.dtype)
+    act_pert = jnp.clip(act_fn(batch_obs + noise), -cfg.max_action,
+                        cfg.max_action)
+    loss_S = jnp.mean((act - act_pert) ** 2)
+
+    nominal = nominal_action(cfg.framework, agent_id, act.shape[0],
+                             act.shape[-1], act.dtype)
+    loss_M = jnp.mean((act - nominal) ** 2)
+    return cfg.lam_T * loss_T + cfg.lam_S * loss_S + cfg.lam_M * loss_M
+
+
+def approx_spectral_norm(W, key, iters: int = 10):
+    """Power iteration on WᵀW (spectral_norm_regularization.py:4-26)."""
+    x = jax.random.normal(key, (W.shape[-1],), W.dtype)
+
+    def body(_, x):
+        x = W.T @ (W @ x)
+        return x / jnp.linalg.norm(x)
+
+    x = jax.lax.fori_loop(0, iters, body, x)
+    return jnp.linalg.norm(W @ x)
+
+
+def spectral_norm_regularization(weights, key, extras=()):
+    """Sum of squared spectral norms over a list of weight matrices plus
+    squared Frobenius norms of extra parameter tensors (the EMLP bilinear
+    params, spectral_norm_regularization.py:41-44)."""
+    total = 0.0
+    for i, W in enumerate(weights):
+        total = total + approx_spectral_norm(
+            W, jax.random.fold_in(key, i)) ** 2
+    for e in extras:
+        total = total + jnp.sum(e * e)
+    return total

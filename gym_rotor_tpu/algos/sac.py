@@ -1,0 +1,213 @@
+"""Soft Actor-Critic learner (reference algos/sac/sac.py:15-247).
+
+Squashed-Gaussian actor, twin critics (shared with TD3's critic defs,
+sac.py:9-12), fixed or auto-tuned entropy temperature, target-critic Polyak
+updates every ``policy_update_freq`` steps, CAPS + spectral regularizers.
+Pure jitted update functions over immutable agent states, CTDE branch
+included (sac.py:136-144: centralized critic fed all agents' sampled
+actions).
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..utils.config import Config
+from ..models import mlp
+from . import regularizers
+from .common import make_optimizer, mse, soft_update
+from .replay import Batch
+from .td3 import ModelDefs
+
+
+@struct.dataclass
+class SACState:
+    actor: Any
+    critic: Any
+    critic_target: Any
+    actor_opt: Any
+    critic_opt: Any
+    log_alpha: jnp.ndarray
+    alpha_opt: Any
+    total_it: jnp.ndarray
+
+
+class SACAgent:
+    def __init__(self, cfg: Config, agent_id: int, defs: ModelDefs):
+        self.cfg = cfg
+        self.agent_id = agent_id
+        self.defs = defs
+        self.obs_dim = cfg.obs_dim_n[agent_id]
+        self.action_dim = cfg.action_dim_n[agent_id]
+        self.is_ctde = (cfg.framework == "MODUL"
+                        and cfg.module_training == "CTDE")
+        self.actor_tx = make_optimizer(cfg, cfg.lr_a[agent_id])
+        self.critic_tx = make_optimizer(cfg, cfg.lr_c[agent_id])
+        self.alpha_tx = optax.adamw(cfg.lr_a[agent_id])
+        # Target Entropy = -dim(A) (sac.py:85-86)
+        self.target_entropy = -float(self.action_dim)
+
+    def init(self, key: jax.Array) -> SACState:
+        cfg = self.cfg
+        ka, kc = jax.random.split(key)
+        obs = jnp.zeros((1, self.obs_dim), jnp.float32)
+        act = jnp.zeros((1, self.action_dim), jnp.float32)
+        actor = self.defs.actor_def.init(ka, obs)
+        if self.is_ctde:
+            cobs = jnp.zeros((1, sum(cfg.obs_dim_n)), jnp.float32)
+            cact = jnp.zeros((1, sum(cfg.action_dim_n)), jnp.float32)
+            critic = self.defs.critic_def.init(kc, cobs, cact)
+        else:
+            critic = self.defs.critic_def.init(kc, obs, act)
+        log_alpha = jnp.zeros((), jnp.float32)
+        return SACState(
+            actor=actor, critic=critic,
+            critic_target=jax.tree.map(jnp.copy, critic),
+            actor_opt=self.actor_tx.init(actor),
+            critic_opt=self.critic_tx.init(critic),
+            log_alpha=log_alpha,
+            alpha_opt=self.alpha_tx.init(log_alpha),
+            total_it=jnp.zeros((), jnp.int32),
+        )
+
+    def sample(self, actor_params, obs, key):
+        mean, log_std = self.defs.actor_def.apply(actor_params, obs)
+        return mlp.sac_sample(mean, log_std, key)
+
+    def choose_action(self, state: SACState, obs, key, is_eval=False):
+        """Stochastic (train) / deterministic-mean (eval) action
+        (sac.py:90-106)."""
+        a, _, mean = self.sample(state.actor, obs, key)
+        return mean if is_eval else a
+
+    def alpha(self, state: SACState):
+        if self.cfg.automatic_entropy_tuning:
+            return jnp.exp(state.log_alpha)
+        return jnp.asarray(self.cfg.sac_alpha, jnp.float32)
+
+
+def train_step(cfg: Config, agents: Sequence[SACAgent],
+               states: List[SACState], batch: Batch, key: jax.Array):
+    new_states = list(states)
+    metrics = {}
+    for i in range(len(agents)):
+        key, sub = jax.random.split(key)
+        new_states[i], m = _train_one(cfg, agents, new_states, i, batch, sub)
+        metrics.update({f"agent{i}/{k}": v for k, v in m.items()})
+    return new_states, metrics
+
+
+def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
+               key: jax.Array):
+    agent = agents[i]
+    state = states[i]
+    ks = jax.random.split(key, 6)
+
+    obs, act = batch.obs[i], batch.act[i]
+    rwd, next_obs, done = batch.rwd[i], batch.next_obs[i], batch.done[i]
+    alpha = agent.alpha(state)
+
+    # ----- target Q (sac.py:135-153)
+    if agent.is_ctde:
+        next_acts = []
+        kk = ks[0]
+        for j, other in enumerate(agents):
+            kk, kn = jax.random.split(kk)
+            a_n, _, _ = other.sample(states[j].actor, batch.next_obs[j], kn)
+            next_acts.append(a_n)
+        _, logp_next, _ = agent.sample(state.actor, next_obs, ks[1])
+        tq1, tq2 = agent.defs.critic_def.apply(
+            state.critic_target,
+            jnp.concatenate(batch.next_obs, axis=-1),
+            jnp.concatenate(next_acts, axis=-1))
+    else:
+        a_next, logp_next, _ = agent.sample(state.actor, next_obs, ks[1])
+        tq1, tq2 = agent.defs.critic_def.apply(state.critic_target,
+                                               next_obs, a_next)
+    target_q = jnp.minimum(tq1, tq2) - alpha * logp_next
+    target_q = rwd + cfg.discount * (1.0 - done) * target_q
+    target_q = jax.lax.stop_gradient(target_q)
+
+    c_obs = (jnp.concatenate(batch.obs, axis=-1) if agent.is_ctde else obs)
+    c_act = (jnp.concatenate(batch.act, axis=-1) if agent.is_ctde else act)
+
+    # ----- critic update (sac.py:155-170)
+    def critic_loss_fn(cp):
+        q1, q2 = agent.defs.critic_def.apply(cp, c_obs, c_act)
+        loss = mse(q1, target_q) + mse(q2, target_q)
+        if agent.defs.critic_spectral is not None:
+            ws, extras = agent.defs.critic_spectral(cp)
+            loss = loss + 1e-8 * regularizers.spectral_norm_regularization(
+                ws, ks[2], extras)
+        return loss
+
+    closs, cgrad = jax.value_and_grad(critic_loss_fn)(state.critic)
+    cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, state.critic)
+    critic = optax.apply_updates(state.critic, cupd)
+
+    # ----- actor update (sac.py:172-203)
+    def actor_loss_fn(ap):
+        if agent.is_ctde:
+            acts = []
+            kk = ks[3]
+            for j, other in enumerate(agents):
+                kk, kn = jax.random.split(kk)
+                p = ap if j == i else states[j].actor
+                a_j, _, _ = other.sample(p, batch.obs[j], kn)
+                acts.append(a_j)
+            _, logp, _ = agent.sample(ap, obs, ks[4])
+            q1, q2 = agent.defs.critic_def.apply(
+                critic, c_obs, jnp.concatenate(acts, axis=-1))
+        else:
+            a_pi, logp, _ = agent.sample(ap, obs, ks[4])
+            q1, q2 = agent.defs.critic_def.apply(critic, obs, a_pi)
+        loss = -(jnp.minimum(q1, q2) - alpha * logp).mean()
+        if agent.defs.actor_spectral is not None:
+            ws, extras = agent.defs.actor_spectral(ap)
+            loss = loss + 1e-5 * regularizers.spectral_norm_regularization(
+                ws, ks[2], extras)
+        # CAPS (sac.py:194-195) — SAC uses sampled actions (policy_reg:9-11)
+        def act_fn(o):
+            a, _, _ = agent.sample(ap, o, ks[5])
+            return a
+        loss = loss + regularizers.caps_regularization(
+            cfg, agent.agent_id, act_fn, obs, next_obs, ks[3])
+        return loss, logp
+
+    (aloss, logp), agrad = jax.value_and_grad(actor_loss_fn, has_aux=True)(
+        state.actor)
+    aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt, state.actor)
+    actor = optax.apply_updates(state.actor, aupd)
+
+    # ----- entropy temperature (sac.py:205-217)
+    if cfg.automatic_entropy_tuning:
+        def alpha_loss_fn(la):
+            return -(la * jax.lax.stop_gradient(
+                agent.target_entropy + logp)).mean()
+        aloss_t, tgrad = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)
+        tupd, topt = agent.alpha_tx.update(tgrad, state.alpha_opt,
+                                           state.log_alpha)
+        log_alpha = optax.apply_updates(state.log_alpha, tupd)
+    else:
+        aloss_t = jnp.zeros(())
+        log_alpha, topt = state.log_alpha, state.alpha_opt
+
+    total_it = state.total_it + 1
+    # ----- delayed target-critic update (sac.py:219-221)
+    ctgt = jax.lax.cond(
+        total_it % cfg.policy_update_freq == 0,
+        lambda _: soft_update(state.critic_target, critic, cfg.tau),
+        lambda _: state.critic_target, None)
+
+    new_state = SACState(
+        actor=actor, critic=critic, critic_target=ctgt,
+        actor_opt=aopt, critic_opt=copt,
+        log_alpha=log_alpha, alpha_opt=topt, total_it=total_it,
+    )
+    return new_state, {"critic_loss": closs, "actor_loss": aloss,
+                       "alpha_loss": aloss_t,
+                       "alpha": agent.alpha(new_state)}

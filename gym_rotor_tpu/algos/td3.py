@@ -1,0 +1,221 @@
+"""TD3 / MATD3 learner as pure jitted update functions.
+
+Algorithm semantics mirror reference algos/td3/td3.py:13-238 exactly:
+twin critics with clipped double-Q, target policy smoothing
+(sigma=target_noise, clip=noise_clip), delayed policy updates
+(policy_update_freq), Polyak targets (tau), AdamW + cosine warm restarts,
+CAPS smoothness regularization on the actor, optional spectral-norm
+regularization (equivariant models), and the CTDE branch that queries all
+agents' target actors for a centralized critic (td3.py:124-137) => MATD3.
+
+Re-design vs the reference: agents are immutable pytree states updated by a
+pure ``train_step`` (one fused XLA program per update, no host round-trips);
+multi-agent updates are expressed over a list of such states so the whole
+MATD3 update jits as one graph.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..utils.config import Config
+from . import regularizers
+from .common import make_optimizer, mse, soft_update
+from .replay import Batch
+
+
+class ModelDefs(NamedTuple):
+    """Static module definitions + optional spectral-norm weight extractors
+    (set for EMLP models, None for MLPs)."""
+    actor_def: Any
+    critic_def: Any
+    actor_spectral: Optional[Callable] = None
+    critic_spectral: Optional[Callable] = None
+
+
+@struct.dataclass
+class TD3State:
+    actor: Any
+    critic: Any
+    actor_target: Any
+    critic_target: Any
+    actor_opt: Any
+    critic_opt: Any
+    total_it: jnp.ndarray
+
+
+class TD3Agent:
+    """Per-agent static configuration (module defs, optimizers, dims)."""
+
+    def __init__(self, cfg: Config, agent_id: int, defs: ModelDefs):
+        self.cfg = cfg
+        self.agent_id = agent_id
+        self.defs = defs
+        self.obs_dim = cfg.obs_dim_n[agent_id]
+        self.action_dim = cfg.action_dim_n[agent_id]
+        self.is_ctde = (cfg.framework == "MODUL"
+                        and cfg.module_training == "CTDE")
+        self.actor_tx = make_optimizer(cfg, cfg.lr_a[agent_id])
+        self.critic_tx = make_optimizer(cfg, cfg.lr_c[agent_id])
+
+    def init(self, key: jax.Array) -> TD3State:
+        cfg = self.cfg
+        ka, kc = jax.random.split(key)
+        obs = jnp.zeros((1, self.obs_dim), jnp.float32)
+        act = jnp.zeros((1, self.action_dim), jnp.float32)
+        actor = self.defs.actor_def.init(ka, obs)
+        if self.is_ctde:
+            cobs = jnp.zeros((1, sum(cfg.obs_dim_n)), jnp.float32)
+            cact = jnp.zeros((1, sum(cfg.action_dim_n)), jnp.float32)
+            critic = self.defs.critic_def.init(kc, cobs, cact)
+        else:
+            critic = self.defs.critic_def.init(kc, obs, act)
+        return TD3State(
+            actor=actor, critic=critic,
+            actor_target=jax.tree.map(jnp.copy, actor),
+            critic_target=jax.tree.map(jnp.copy, critic),
+            actor_opt=self.actor_tx.init(actor),
+            critic_opt=self.critic_tx.init(critic),
+            total_it=jnp.zeros((), jnp.int32),
+        )
+
+    def act(self, actor_params, obs):
+        return self.defs.actor_def.apply(actor_params, obs)
+
+    def choose_action(self, state: TD3State, obs, noise_std, key):
+        """Policy + exploration noise (td3.py:82-96)."""
+        a = self.act(state.actor, obs)
+        noise = noise_std * jax.random.normal(key, a.shape, a.dtype)
+        return jnp.clip(a + noise, -self.cfg.max_action, self.cfg.max_action)
+
+
+def _critic_apply(agent: TD3Agent, params, obs, act):
+    return agent.defs.critic_def.apply(params, obs, act)
+
+
+def train_step(cfg: Config, agents: Sequence[TD3Agent],
+               states: List[TD3State], batch: Batch, key: jax.Array):
+    """One TD3 update for every agent (reference trains each agent per env
+    step, main.py:191-202).  Returns (new_states, metrics)."""
+    new_states = list(states)
+    metrics = {}
+    for i, agent in enumerate(agents):
+        key, sub = jax.random.split(key)
+        new_states[i], m = _train_one(cfg, agents, new_states, i, batch, sub)
+        metrics.update({f"agent{i}/{k}": v for k, v in m.items()})
+    return new_states, metrics
+
+
+def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
+               key: jax.Array):
+    agent = agents[i]
+    state = states[i]
+    k_noise, k_caps, k_spec, k_spec2 = jax.random.split(key, 4)
+
+    obs = batch.obs[i]
+    act = batch.act[i]
+    rwd = batch.rwd[i]
+    next_obs = batch.next_obs[i]
+    done = batch.done[i]
+
+    # ----- target Q (td3.py:123-154)
+    if agent.is_ctde:
+        next_acts = []
+        kk = k_noise
+        for j, other in enumerate(agents):
+            kk, kn = jax.random.split(kk)
+            a_next = other.act(states[j].actor_target, batch.next_obs[j])
+            noise = jnp.clip(
+                cfg.target_noise * jax.random.normal(kn, a_next.shape),
+                -cfg.noise_clip, cfg.noise_clip)
+            next_acts.append(
+                jnp.clip(a_next + noise, -cfg.max_action, cfg.max_action))
+        cat_next_obs = jnp.concatenate(batch.next_obs, axis=-1)
+        cat_next_act = jnp.concatenate(next_acts, axis=-1)
+        tq1, tq2 = _critic_apply(agent, state.critic_target,
+                                 cat_next_obs, cat_next_act)
+    else:
+        a_next = agent.act(state.actor_target, next_obs)
+        noise = jnp.clip(
+            cfg.target_noise * jax.random.normal(k_noise, a_next.shape),
+            -cfg.noise_clip, cfg.noise_clip)
+        a_next = jnp.clip(a_next + noise, -cfg.max_action, cfg.max_action)
+        tq1, tq2 = _critic_apply(agent, state.critic_target, next_obs, a_next)
+    target_q = rwd + cfg.discount * (1.0 - done) * jnp.minimum(tq1, tq2)
+    target_q = jax.lax.stop_gradient(target_q)
+
+    if agent.is_ctde:
+        c_obs = jnp.concatenate(batch.obs, axis=-1)
+        c_act = jnp.concatenate(batch.act, axis=-1)
+    else:
+        c_obs, c_act = obs, act
+
+    # ----- critic update (td3.py:156-171)
+    def critic_loss_fn(cp):
+        q1, q2 = _critic_apply(agent, cp, c_obs, c_act)
+        loss = mse(q1, target_q) + mse(q2, target_q)
+        if agent.defs.critic_spectral is not None:
+            ws, extras = agent.defs.critic_spectral(cp)
+            loss = loss + 1e-8 * regularizers.spectral_norm_regularization(
+                ws, k_spec, extras)
+        return loss
+
+    closs, cgrad = jax.value_and_grad(critic_loss_fn)(state.critic)
+    cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, state.critic)
+    critic = optax.apply_updates(state.critic, cupd)
+
+    total_it = state.total_it + 1
+
+    # ----- delayed actor + target update (td3.py:177-211)
+    def do_actor(_):
+        def actor_loss_fn(ap):
+            if agent.is_ctde:
+                # all agents' *current* actors (td3.py:181)
+                acts = [
+                    jnp.clip(other.act(states[j].actor if j != i else ap,
+                                       batch.obs[j]),
+                             -cfg.max_action, cfg.max_action)
+                    for j, other in enumerate(agents)
+                ]
+                q1, _ = _critic_apply(agent, critic, c_obs,
+                                      jnp.concatenate(acts, axis=-1))
+            else:
+                pi = jnp.clip(agent.act(ap, obs), -cfg.max_action,
+                              cfg.max_action)
+                q1, _ = _critic_apply(agent, critic, obs, pi)
+            loss = -q1.mean()
+            if agent.defs.actor_spectral is not None:
+                ws, extras = agent.defs.actor_spectral(ap)
+                loss = loss + 1e-5 * regularizers.spectral_norm_regularization(
+                    ws, k_spec2, extras)
+            # CAPS smoothness (td3.py:196)
+            loss = loss + regularizers.caps_regularization(
+                cfg, agent.agent_id, lambda o: agent.act(ap, o),
+                obs, next_obs, k_caps)
+            return loss
+
+        aloss, agrad = jax.value_and_grad(actor_loss_fn)(state.actor)
+        aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt,
+                                           state.actor)
+        actor = optax.apply_updates(state.actor, aupd)
+        new_ct = soft_update(state.critic_target, critic, cfg.tau)
+        new_at = soft_update(state.actor_target, actor, cfg.tau)
+        return actor, aopt, new_at, new_ct, aloss
+
+    def skip_actor(_):
+        return (state.actor, state.actor_opt, state.actor_target,
+                state.critic_target, jnp.zeros((), jnp.float32))
+
+    actor, aopt, atgt, ctgt, aloss = jax.lax.cond(
+        total_it % cfg.policy_update_freq == 0, do_actor, skip_actor, None)
+
+    new_state = TD3State(
+        actor=actor, critic=critic, actor_target=atgt, critic_target=ctgt,
+        actor_opt=aopt, critic_opt=copt, total_it=total_it,
+    )
+    return new_state, {"critic_loss": closs, "actor_loss": aloss}

@@ -1,0 +1,353 @@
+"""Training driver CLI — the reference's Learner (main.py:37-421) rebuilt for
+batched TPU training.
+
+Usage mirrors the reference:
+    python train.py --framework MONO --rl_algo TD3 --seed 1992 ...
+plus TPU knobs: --num_envs, --updates_per_step, --integrator.
+
+Differences by design (SURVEY.md §7):
+* ``num_envs`` lockstep environments collect experience per tick
+  (total_timesteps advances by num_envs per tick); with ``--num_envs 1`` the
+  loop degenerates to the reference's single-env semantics.
+* All hot paths (action selection, env tick, replay insert, learner updates,
+  the whole eval rollout) are jit-compiled; the Python loop only orchestrates.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_rotor_tpu.algos import ppo as ppo_lib
+from gym_rotor_tpu.algos import replay as replay_lib
+from gym_rotor_tpu.algos import sac as sac_lib
+from gym_rotor_tpu.algos import td3 as td3_lib
+from gym_rotor_tpu.envs import batch as batch_lib
+from gym_rotor_tpu.models import ppo_models, sac_models, td3_models
+from gym_rotor_tpu.utils import checkpoint as ckpt
+from gym_rotor_tpu.utils import logging as logs
+from gym_rotor_tpu.utils.config import Config, config_from_args
+
+EVAL_SEED = 1992  # fixed eval seed (reference main.py:280-282)
+
+
+def benchmark_reward(ex, eb1):
+    """interp(-||ex|| - |eb1|, [-2, 0], [0, 1]) (utils/utils.py:42-47)."""
+    r = -jnp.linalg.norm(ex, axis=-1) - jnp.abs(eb1)
+    return jnp.clip((r + 2.0) / 2.0, 0.0, 1.0)
+
+
+class Learner:
+    def __init__(self, cfg: Config, model_dir="./models",
+                 results_dir="./results"):
+        self.cfg = cfg
+        self.model_dir = model_dir
+        self.results_dir = results_dir
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        n = cfg.n_agents
+        if cfg.rl_algo == "TD3":
+            self.agents = [td3_lib.TD3Agent(cfg, i, td3_models(cfg, i))
+                           for i in range(n)]
+            self.train_fn = td3_lib.train_step
+        elif cfg.rl_algo == "SAC":
+            self.agents = [sac_lib.SACAgent(cfg, i, sac_models(cfg, i))
+                           for i in range(n)]
+            self.train_fn = sac_lib.train_step
+        elif cfg.rl_algo == "PPO":
+            self.agents = [ppo_lib.PPOAgent(cfg, i, ppo_models(cfg, i))
+                           for i in range(n)]
+            self.train_fn = ppo_lib.train_step
+        else:
+            raise ValueError(cfg.rl_algo)
+
+        self.key, *aks = jax.random.split(self.key, n + 1)
+        self.states = [a.init(k) for a, k in zip(self.agents, aks)]
+
+        if cfg.rl_algo in ("TD3", "SAC"):
+            self.replay = replay_lib.create(
+                cfg.replay_buffer_size, cfg.obs_dim_n, cfg.action_dim_n)
+
+        self.key, ek = jax.random.split(self.key)
+        self.bstate, self.obs = batch_lib.batched_reset(cfg, ek, "train")
+
+        self.total_timesteps = 0
+        self.explor_noise_std = cfg.explor_noise_std_init
+        self.noise_std_decay = (
+            (cfg.explor_noise_std_init - cfg.explor_noise_std_min)
+            / cfg.max_timesteps) if cfg.use_explor_noise_decay else 0.0
+
+        self._build_jitted()
+        self.tb = logs.TensorBoard(
+            cfg.save_tensorboard, results_dir,
+            f"{cfg.rl_algo}_{cfg.seed}_{cfg.framework}")
+
+    # ------------------------------------------------------------------
+    def _build_jitted(self):
+        cfg, agents = self.cfg, self.agents
+
+        def act_train(states, obs, noise_std, key):
+            acts = []
+            logps = []
+            for i, a in enumerate(agents):
+                key, sub = jax.random.split(key)
+                if cfg.rl_algo == "TD3":
+                    acts.append(a.choose_action(states[i], obs[i], noise_std,
+                                                sub))
+                    logps.append(jnp.zeros_like(acts[-1]))
+                elif cfg.rl_algo == "SAC":
+                    acts.append(a.choose_action(states[i], obs[i], sub))
+                    logps.append(jnp.zeros_like(acts[-1]))
+                else:
+                    act, logp = a.choose_action(states[i], obs[i], sub)
+                    acts.append(act)
+                    logps.append(logp)
+            return jnp.concatenate(acts, axis=-1), tuple(acts), tuple(logps)
+
+        def act_eval(states, obs):
+            acts = []
+            for i, a in enumerate(agents):
+                if cfg.rl_algo == "TD3":
+                    acts.append(a.act(states[i].actor, obs[i]))
+                elif cfg.rl_algo == "SAC":
+                    acts.append(a.choose_action(
+                        states[i], obs[i], jax.random.PRNGKey(0),
+                        is_eval=True))
+                else:
+                    act, _ = a.choose_action(states[i], obs[i], None,
+                                             is_eval=True)
+                    acts.append(act)
+            return jnp.concatenate(acts, axis=-1)
+
+        self._act_train = jax.jit(act_train)
+        self._act_eval = jax.jit(act_eval)
+        self._env_step = jax.jit(
+            lambda bs, a: batch_lib.batched_step(cfg, bs, a))
+
+        def random_actions(key):
+            return jax.random.uniform(
+                key, (cfg.num_envs, sum(cfg.action_dim_n)), jnp.float32,
+                -1.0, 1.0)
+
+        self._random_actions = jax.jit(random_actions)
+
+        if cfg.rl_algo in ("TD3", "SAC"):
+            def insert(rs, tr):
+                return replay_lib.insert_rollout(rs, tr)
+
+            self._insert = jax.jit(insert)
+
+            def updates(states, rs, key, n_updates):
+                def body(carry, k):
+                    states = carry
+                    ks, ku = jax.random.split(k)
+                    b = replay_lib.sample(rs, ks, cfg.batch_size)
+                    states, metrics = self.train_fn(cfg, agents, states, b,
+                                                    ku)
+                    return states, metrics
+
+                keys = jax.random.split(key, n_updates)
+                # list pytree works as scan carry
+                states, metrics = jax.lax.scan(body, states, keys)
+                return states, jax.tree.map(lambda m: m[-1], metrics)
+
+            self._updates = {}
+            for nu in (1, 2, 4, 8, 16, 32):
+                self._updates[nu] = jax.jit(partial(updates, n_updates=nu))
+        else:
+            self._ppo_train = jax.jit(
+                lambda st, d, k: self.train_fn(cfg, agents, st, d, k))
+
+        # ---- batched eval rollout (reference eval_policy, main.py:270-404)
+        eval_cfg = cfg.replace(num_envs=cfg.num_eval)
+        eval_steps = int(round(cfg.eval_max_steps / 0.005))
+
+        def eval_rollout(states, key):
+            bs, obs = batch_lib.batched_reset(eval_cfg, key, "eval")
+
+            def body(carry, _):
+                bs, obs, active, ep_rwd, bench, last_ex, last_eb1 = carry
+                action = act_eval(states, obs)
+                bs, out = batch_lib.batched_step(eval_cfg, bs, action, "eval")
+                a = active[..., None]
+                ep_rwd = ep_rwd + jnp.where(a, out.reward, 0.0)
+                bench = bench + jnp.where(
+                    active, benchmark_reward(out.info["ex"],
+                                             out.info["eb1"]), 0.0)
+                last_ex = jnp.where(a, out.info["ex"], last_ex)
+                last_eb1 = jnp.where(active, out.info["eb1"], last_eb1)
+                # deactivate on crash (cap handled by loop length)
+                active = active & ~jnp.any(out.info["crashed"], axis=-1)
+                return (bs, out.obs, active, ep_rwd, bench, last_ex,
+                        last_eb1), None
+
+            n = eval_cfg.num_envs
+            init = (
+                bs, obs, jnp.ones((n,), bool),
+                jnp.zeros((n, cfg.n_agents), jnp.float32),
+                jnp.zeros((n,), jnp.float32),
+                jnp.zeros((n, 3), jnp.float32),
+                jnp.zeros((n,), jnp.float32),
+            )
+            (bs, obs, active, ep_rwd, bench, last_ex, last_eb1), _ = \
+                jax.lax.scan(body, init, None, length=eval_steps)
+            # success: full-length episode and |ex| <= 0.01
+            # (+ |eb1| <= 0.01 for MODUL agent 2) (main.py:367-373)
+            succ_pos = active & jnp.all(jnp.abs(last_ex) <= 0.01, axis=-1)
+            if cfg.framework == "MODUL":
+                succ_yaw = active & (jnp.abs(last_eb1) <= 0.01)
+                success = jnp.stack([succ_pos, succ_yaw], axis=-1)
+            else:
+                success = succ_pos[..., None]
+            return (ep_rwd.mean(0), bench.mean(0), success,
+                    last_ex.mean(0), last_eb1.mean(0))
+
+        self._eval = jax.jit(eval_rollout)
+
+    # ------------------------------------------------------------------
+    def eval_policy(self):
+        rewards, bench, success, ex, eb1 = self._eval(
+            self.states, jax.random.PRNGKey(EVAL_SEED))
+        rewards = np.asarray(rewards)
+        print(
+            f"total_timesteps: {self.total_timesteps} \t eval_reward: "
+            f"{[round(float(r), 4) for r in rewards]} \t benchmark_reward: "
+            f"{float(bench):.4f}")
+        return rewards, float(bench), np.asarray(success)
+
+    # ------------------------------------------------------------------
+    def train_policy(self):
+        cfg = self.cfg
+        tl = logs.TextLogs(self.results_dir, cfg.seed)
+        thr = logs.Throughput()
+        max_total_reward = [0.85 * cfg.eval_max_steps / 0.005] * cfg.n_agents
+        eval_steps = int(round(cfg.eval_max_steps / 0.005))
+
+        n_updates = max(int(round(cfg.updates_per_step)), 1)
+        n_updates = min(
+            (u for u in (1, 2, 4, 8, 16, 32) if u >= n_updates), default=32)
+
+        ppo_horizon = []
+        next_eval = cfg.eval_freq
+        last_report = time.perf_counter()
+
+        while self.total_timesteps < cfg.max_timesteps:
+            self.key, k1, k2, k3 = jax.random.split(self.key, 4)
+            warm = (cfg.rl_algo == "PPO"
+                    or self.total_timesteps >= cfg.start_timesteps)
+            if cfg.rl_algo != "PPO" and not warm:
+                action = self._random_actions(k1)
+                per_agent_acts = self._split_action(action)
+                logps = None
+            else:
+                action, per_agent_acts, logps = self._act_train(
+                    self.states, self.obs,
+                    jnp.asarray(self.explor_noise_std, jnp.float32), k1)
+
+            prev_obs = self.obs
+            self.bstate, out = self._env_step(self.bstate, action)
+            self.obs = out.obs
+            self.total_timesteps += cfg.num_envs
+            thr.add(env_steps=cfg.num_envs)
+
+            if cfg.rl_algo in ("TD3", "SAC"):
+                tr = batch_lib.Transition(
+                    obs=prev_obs, action=action, reward=out.reward,
+                    next_obs=out.info["terminal_obs"], done=out.done)
+                # add time axis of 1 for insert_rollout
+                tr = jax.tree.map(lambda x: x[None], tr)
+                self.replay = self._insert(self.replay, tr)
+                if warm:
+                    self.states, metrics = self._updates[n_updates](
+                        self.states, self.replay, k2)
+                    thr.add(updates=n_updates)
+            else:
+                ppo_horizon.append(
+                    (prev_obs, per_agent_acts, out.reward,
+                     out.info["terminal_obs"], out.done, logps))
+                if len(ppo_horizon) * cfg.num_envs >= cfg.T_horizon:
+                    data = self._stack_horizon(ppo_horizon)
+                    self.states, metrics = self._ppo_train(
+                        self.states, data, k3)
+                    ppo_horizon = []
+
+            if cfg.rl_algo == "TD3" and cfg.use_explor_noise_decay:
+                self.explor_noise_std = max(
+                    self.explor_noise_std - self.noise_std_decay * cfg.num_envs,
+                    cfg.explor_noise_std_min)
+
+            # periodic eval (reference main.py:242-264)
+            if self.total_timesteps >= next_eval and (
+                    cfg.rl_algo == "PPO" or warm):
+                rewards, bench, success = self.eval_policy()
+                tl.log_eval(self.total_timesteps, bench, list(rewards))
+                self.tb.scalar("reward/benchmark_reward", bench,
+                               self.total_timesteps)
+                for i, r in enumerate(rewards):
+                    self.tb.scalar(f"reward/eval_reward{i}", r,
+                                   self.total_timesteps)
+                    if r > max_total_reward[i] and cfg.save_model:
+                        max_total_reward[i] = r
+                        ckpt.save_actor(
+                            self.model_dir, self.states[i].actor,
+                            cfg.rl_algo, cfg.framework, self.total_timesteps,
+                            i, cfg.seed)
+                    if success[:, i].all() and cfg.save_model:
+                        ckpt.save_actor(
+                            self.model_dir, self.states[i].actor,
+                            cfg.rl_algo, cfg.framework, self.total_timesteps,
+                            i, cfg.seed, solved=True)
+                next_eval += cfg.eval_freq
+
+            if time.perf_counter() - last_report > 10.0:
+                es, us = thr.rates()
+                print(f"t={self.total_timesteps}  env-steps/s={es:,.0f}  "
+                      f"updates/s={us:,.1f}  noise={self.explor_noise_std:.3f}")
+                last_report = time.perf_counter()
+
+        tl.close()
+
+    # ------------------------------------------------------------------
+    def _split_action(self, action):
+        outs, off = [], 0
+        for d in self.cfg.action_dim_n:
+            outs.append(action[..., off:off + d])
+            off += d
+        return tuple(outs)
+
+    def _stack_horizon(self, rows):
+        n = self.cfg.n_agents
+        obs = tuple(jnp.stack([r[0][i] for r in rows]) for i in range(n))
+        act = tuple(jnp.stack([r[1][i] for r in rows]) for i in range(n))
+        rwd = tuple(jnp.stack([r[2][..., i] for r in rows])[..., None]
+                    for i in range(n))
+        nxt = tuple(jnp.stack([r[3][i] for r in rows]) for i in range(n))
+        done = tuple(jnp.stack([r[4][..., i] for r in rows])[..., None]
+                     .astype(jnp.float32) for i in range(n))
+        logp = tuple(jnp.stack([r[5][i] for r in rows]) for i in range(n))
+        return ppo_lib.Horizon(obs=obs, act=act, rwd=rwd, next_obs=nxt,
+                               done=done, logprob=logp)
+
+
+def main(argv=None):
+    cfg = config_from_args(argv)
+    print("-" * 100)
+    print(f"Framework: {cfg.framework} | Equivariant RL: {cfg.use_equiv} | "
+          f"RL algorithm: {cfg.rl_algo} | Seed: {cfg.seed}")
+    print(f"gamma: {cfg.discount} | lr_a: {list(cfg.lr_a)} | "
+          f"lr_c: {list(cfg.lr_c)} | num_envs: {cfg.num_envs} | "
+          f"integrator: {cfg.integrator}")
+    print("-" * 100)
+    learner = Learner(cfg)
+    learner.eval_policy()
+    learner.train_policy()
+
+
+if __name__ == "__main__":
+    main()
