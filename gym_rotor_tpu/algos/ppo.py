@@ -63,9 +63,9 @@ class PPOAgent:
         cfg = self.cfg
         ka, kc = jax.random.split(key)
         obs = jnp.zeros((1, self.obs_dim), jnp.float32)
-        actor = self.defs.actor_def.init(ka, obs)
+        actor = jax.jit(self.defs.actor_def.init)(ka, obs)
         cdim = sum(cfg.obs_dim_n) if self.is_ctde else self.obs_dim
-        critic = self.defs.critic_def.init(
+        critic = jax.jit(self.defs.critic_def.init)(
             kc, jnp.zeros((1, cdim), jnp.float32))
         return PPOState(
             actor=actor, critic=critic,

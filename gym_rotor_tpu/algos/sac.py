@@ -56,13 +56,13 @@ class SACAgent:
         ka, kc = jax.random.split(key)
         obs = jnp.zeros((1, self.obs_dim), jnp.float32)
         act = jnp.zeros((1, self.action_dim), jnp.float32)
-        actor = self.defs.actor_def.init(ka, obs)
+        actor = jax.jit(self.defs.actor_def.init)(ka, obs)
         if self.is_ctde:
             cobs = jnp.zeros((1, sum(cfg.obs_dim_n)), jnp.float32)
             cact = jnp.zeros((1, sum(cfg.action_dim_n)), jnp.float32)
-            critic = self.defs.critic_def.init(kc, cobs, cact)
+            critic = jax.jit(self.defs.critic_def.init)(kc, cobs, cact)
         else:
-            critic = self.defs.critic_def.init(kc, obs, act)
+            critic = jax.jit(self.defs.critic_def.init)(kc, obs, act)
         log_alpha = jnp.zeros((), jnp.float32)
         return SACState(
             actor=actor, critic=critic,
@@ -91,18 +91,26 @@ class SACAgent:
 
 
 def train_step(cfg: Config, agents: Sequence[SACAgent],
-               states: List[SACState], batch: Batch, key: jax.Array):
+               states: List[SACState], batch: Batch, key: jax.Array,
+               axis_name: str = None):
     new_states = list(states)
     metrics = {}
     for i in range(len(agents)):
         key, sub = jax.random.split(key)
-        new_states[i], m = _train_one(cfg, agents, new_states, i, batch, sub)
+        new_states[i], m = _train_one(cfg, agents, new_states, i, batch, sub,
+                                      axis_name)
         metrics.update({f"agent{i}/{k}": v for k, v in m.items()})
     return new_states, metrics
 
 
+def _pmean(tree, axis_name):
+    if axis_name is None:
+        return tree
+    return jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), tree)
+
+
 def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
-               key: jax.Array):
+               key: jax.Array, axis_name: str = None):
     agent = agents[i]
     state = states[i]
     ks = jax.random.split(key, 6)
@@ -146,6 +154,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         return loss
 
     closs, cgrad = jax.value_and_grad(critic_loss_fn)(state.critic)
+    cgrad = _pmean(cgrad, axis_name)
     cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, state.critic)
     critic = optax.apply_updates(state.critic, cupd)
 
@@ -180,6 +189,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
 
     (aloss, logp), agrad = jax.value_and_grad(actor_loss_fn, has_aux=True)(
         state.actor)
+    agrad = _pmean(agrad, axis_name)
     aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt, state.actor)
     actor = optax.apply_updates(state.actor, aupd)
 

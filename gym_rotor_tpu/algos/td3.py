@@ -68,13 +68,13 @@ class TD3Agent:
         ka, kc = jax.random.split(key)
         obs = jnp.zeros((1, self.obs_dim), jnp.float32)
         act = jnp.zeros((1, self.action_dim), jnp.float32)
-        actor = self.defs.actor_def.init(ka, obs)
+        actor = jax.jit(self.defs.actor_def.init)(ka, obs)
         if self.is_ctde:
             cobs = jnp.zeros((1, sum(cfg.obs_dim_n)), jnp.float32)
             cact = jnp.zeros((1, sum(cfg.action_dim_n)), jnp.float32)
-            critic = self.defs.critic_def.init(kc, cobs, cact)
+            critic = jax.jit(self.defs.critic_def.init)(kc, cobs, cact)
         else:
-            critic = self.defs.critic_def.init(kc, obs, act)
+            critic = jax.jit(self.defs.critic_def.init)(kc, obs, act)
         return TD3State(
             actor=actor, critic=critic,
             actor_target=jax.tree.map(jnp.copy, actor),
@@ -99,20 +99,33 @@ def _critic_apply(agent: TD3Agent, params, obs, act):
 
 
 def train_step(cfg: Config, agents: Sequence[TD3Agent],
-               states: List[TD3State], batch: Batch, key: jax.Array):
+               states: List[TD3State], batch: Batch, key: jax.Array,
+               axis_name: str = None):
     """One TD3 update for every agent (reference trains each agent per env
-    step, main.py:191-202).  Returns (new_states, metrics)."""
+    step, main.py:191-202).  Returns (new_states, metrics).
+
+    ``axis_name``: when called inside shard_map/pmap over a data-parallel
+    mesh axis, gradients are pmean-reduced over it before the optimizer
+    update (replicated params + sharded batch => MATD3 data parallelism).
+    """
     new_states = list(states)
     metrics = {}
     for i, agent in enumerate(agents):
         key, sub = jax.random.split(key)
-        new_states[i], m = _train_one(cfg, agents, new_states, i, batch, sub)
+        new_states[i], m = _train_one(cfg, agents, new_states, i, batch, sub,
+                                      axis_name)
         metrics.update({f"agent{i}/{k}": v for k, v in m.items()})
     return new_states, metrics
 
 
+def _pmean(tree, axis_name):
+    if axis_name is None:
+        return tree
+    return jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), tree)
+
+
 def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
-               key: jax.Array):
+               key: jax.Array, axis_name: str = None):
     agent = agents[i]
     state = states[i]
     k_noise, k_caps, k_spec, k_spec2 = jax.random.split(key, 4)
@@ -166,6 +179,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         return loss
 
     closs, cgrad = jax.value_and_grad(critic_loss_fn)(state.critic)
+    cgrad = _pmean(cgrad, axis_name)
     cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, state.critic)
     critic = optax.apply_updates(state.critic, cupd)
 
@@ -200,6 +214,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
             return loss
 
         aloss, agrad = jax.value_and_grad(actor_loss_fn)(state.actor)
+        agrad = _pmean(agrad, axis_name)
         aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt,
                                            state.actor)
         actor = optax.apply_updates(state.actor, aupd)

@@ -1,0 +1,315 @@
+"""Equivariant network layers (EMLP) as flax modules.
+
+Layer semantics mirror the reference (algos/emlp_torch/nn.py):
+
+* ``EquivLinear``      — nn.py:13-36: an unconstrained (nout, nin) kernel +
+  bias projected onto the equivariant subspace on every forward, so the
+  optimizer state lives in the full space exactly like the reference.  The
+  projection here is *blockwise*: coordinates are permuted into type groups
+  and each (type_out, type_in) block is projected through its cached
+  orthonormal pair basis — two small einsums per type pair instead of the
+  reference's chains of lazy Kron/Perm matvecs (representation.py:429-437).
+* ``EquivBiLinear``    — nn.py:39-55 + bilinear_weights
+  (representation.py:358-402): data-dependent equivariant weight built from
+  learned mixtures of sampled input tensors, output scaled by 0.1.
+* ``gated``/``GatedNonlinearity`` — nn.py:58-82: one extra gate scalar per
+  non-scalar non-permutation atom; scalars and permutation reps get
+  sigmoid(x)*x (SiLU), others sigmoid(gate)*x.
+* ``EMLPBlock``/``EMLP`` — nn.py:85-99, 153-193.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .reps import (Atom, Scalar, SumRep, group_by_type, pair_basis,
+                   product_type_key, vec_basis)
+
+BILINEAR_SEED = 2024  # fixed rng for the bilinear input sampling
+
+
+def gated(rep: SumRep) -> SumRep:
+    """Append one gate scalar per non-scalar, non-permutation atom
+    (nn.py:58-65)."""
+    gates = [Atom(a.G, 0, 0) for a in rep.atoms
+             if not a.is_scalar and not a.is_permutation]
+    return SumRep(rep.atoms + gates)
+
+
+def gate_indices(rep: SumRep) -> np.ndarray:
+    """Per-coordinate gate source index into the gated vector
+    (nn.py:262-280): non-gated coords point at themselves (=> SiLU)."""
+    size = rep.size
+    idx = np.arange(size)
+    off = 0
+    gate_pos = size
+    for a in rep.atoms:
+        if not a.is_scalar and not a.is_permutation:
+            idx[off:off + a.size] = gate_pos
+            gate_pos += 1
+        off += a.size
+    return idx
+
+
+def _bias_init(nout):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, 0.0,
+                                  1.0 / math.sqrt(nout))
+    return init
+
+
+class EquivLinear(nn.Module):
+    """Equivariant linear layer rep_in -> rep_out (nn.py:13-36)."""
+    rep_in: SumRep
+    rep_out: SumRep
+
+    @nn.compact
+    def __call__(self, x):
+        nin, nout = self.rep_in.size, self.rep_out.size
+        kernel = self.param(
+            "kernel",
+            lambda k, s: nn.initializers.orthogonal()(k, s, jnp.float32),
+            (nout, nin))
+        bias = self.param("bias", _bias_init(nout), (nout,))
+        W_eff, b_eff = project_linear(self.rep_in, self.rep_out, kernel, bias)
+        return x @ W_eff.T + b_eff
+
+
+_LINEAR_PROJ_CACHE = {}
+
+
+def linear_projector(rep_in: SumRep, rep_out: SumRep):
+    """Dense orthonormal bases (Qw, Qb) of the equivariant weight/bias
+    subspaces, assembled on host from the cached per-atom-pair bases.
+
+    Qw: (nout*nin, r) with disjoint block supports, so P = Qw Qwᵀ is the
+    exact equivariant projector the reference applies lazily
+    (representation.py:121-126); here the projection is two dense matmuls
+    on device — MXU-friendly and constant-folded by XLA."""
+    ck = (hash(rep_in), hash(rep_out))
+    if ck in _LINEAR_PROJ_CACHE:
+        return _LINEAR_PROJ_CACHE[ck]
+    nin, nout = rep_in.size, rep_out.size
+    # 1x1 blocks project to either 0 or themselves (their basis is [+-1]),
+    # so they live in a dense pass-through mask instead of Q columns — this
+    # keeps Q tiny even for d=1 rank towers like uniform_rep(ch, Mirror(1)).
+    mask = np.zeros((nout, nin))
+    cols = []
+    r_off = 0
+    for ao in rep_out.atoms:
+        c_off = 0
+        for ai in rep_in.atoms:
+            B = pair_basis(ao, ai)
+            if ao.size == 1 and ai.size == 1:
+                if B.shape[1]:
+                    mask[r_off, c_off] = 1.0
+            else:
+                for k in range(B.shape[1]):
+                    blk = B[:, k].reshape(ao.size, ai.size)
+                    col = np.zeros((nout, nin))
+                    col[r_off:r_off + ao.size, c_off:c_off + ai.size] = blk
+                    cols.append(col.reshape(-1))
+            c_off += ai.size
+        r_off += ao.size
+    Qw = (np.stack(cols, axis=1) if cols
+          else np.zeros((nout * nin, 0)))
+
+    bmask = np.zeros(nout)
+    bcols = []
+    r_off = 0
+    for ao in rep_out.atoms:
+        Bv = vec_basis(ao)
+        if ao.size == 1:
+            if Bv.shape[1]:
+                bmask[r_off] = 1.0
+        else:
+            for k in range(Bv.shape[1]):
+                col = np.zeros(nout)
+                col[r_off:r_off + ao.size] = Bv[:, k]
+                bcols.append(col)
+        r_off += ao.size
+    Qb = (np.stack(bcols, axis=1) if bcols else np.zeros((nout, 0)))
+    out = (Qw.astype(np.float32), Qb.astype(np.float32),
+           mask.astype(np.float32), bmask.astype(np.float32))
+    _LINEAR_PROJ_CACHE[ck] = out
+    return out
+
+
+def project_linear(rep_in: SumRep, rep_out: SumRep, kernel, bias):
+    """Equivariant projection of (kernel, bias):
+    W_eff = mask * W + Qw Qwᵀ vec(W)   (disjoint supports)."""
+    nout, nin = kernel.shape
+    Qw, Qb, mask, bmask = linear_projector(rep_in, rep_out)
+    W_eff = jnp.asarray(mask, kernel.dtype) * kernel
+    if Qw.shape[1]:
+        Qw = jnp.asarray(Qw, kernel.dtype)
+        W_eff = W_eff + (Qw @ (Qw.T @ kernel.reshape(-1))).reshape(nout, nin)
+    b_eff = jnp.asarray(bmask, bias.dtype) * bias
+    if Qb.shape[1]:
+        Qb = jnp.asarray(Qb, bias.dtype)
+        b_eff = b_eff + Qb @ (Qb.T @ bias)
+    return W_eff, b_eff
+
+
+def _bilinear_struct(rep: SumRep):
+    """Static structure of the bilinear layer for in_rep == out_rep == rep.
+
+    Two regimes:
+    * general type pairs (multi-dimensional atoms, e.g. SO2eR3 vectors and
+      rank-2 tensors) -> one einsum per (type_out, type_in) pair;
+    * all-size-1 pairs (e.g. the rank tower uniform_rep builds for Mirror(1),
+      whose atoms are all 1-dimensional) -> a single vectorized
+      gather/scatter over flat coordinates, avoiding thousands of tiny ops.
+    """
+    tg = group_by_type(rep)
+    x_types = {t.key: t for t in tg if t.atom.rank >= 1}
+    rng = np.random.default_rng(BILINEAR_SEED)
+    pairs = []
+    s1_rows, s1_cols, s1_sels, s1_pidx = [], [], [], []
+    wdim = 0
+    for io, to in enumerate(tg):
+        for ii, ti in enumerate(tg):
+            tau = product_type_key(to.atom, ti.atom)
+            if tau not in x_types:
+                continue
+            xt = x_types[tau]
+            d_tau = xt.atom.size
+            if to.atom.size == 1 and ti.atom.size == 1 and d_tau == 1:
+                # flat-coordinate path: one param per (out_atom, in_atom)
+                # slot, sel picks one x atom of the product type
+                for r in to.indices:
+                    for c in ti.indices:
+                        s1_rows.append(r)
+                        s1_cols.append(c)
+                        s1_sels.append(
+                            xt.indices[rng.integers(0, xt.mult)])
+                        s1_pidx.append(wdim)
+                        wdim += 1
+                continue
+            n = min(xt.mult, d_tau)
+            slots = to.mult * ti.mult
+            sel = rng.integers(0, xt.mult, size=n)  # with replacement,
+            # like torch.randint (representation.py:376-378)
+            pairs.append(dict(io=io, ii=ii, tau=tau, n=n, sel=sel,
+                              offset=wdim, slots=slots))
+            wdim += slots * n
+    s1 = None
+    if s1_rows:
+        s1 = dict(
+            rows=np.asarray(s1_rows), cols=np.asarray(s1_cols),
+            sels=np.asarray(s1_sels), pidx=np.asarray(s1_pidx),
+        )
+    return tg, pairs, s1, wdim
+
+
+class EquivBiLinear(nn.Module):
+    """Cheap equivariant bilinear layer (nn.py:39-55): W(x) @ x * 0.1."""
+    rep: SumRep
+
+    @nn.compact
+    def __call__(self, x):
+        tg, pairs, s1, wdim = _bilinear_struct(self.rep)
+        if wdim == 0:
+            return jnp.zeros_like(x)
+        params = self.param(
+            "bi_params",
+            lambda k, s: nn.initializers.normal(1.0)(k, s, jnp.float32),
+            (wdim,))
+        bshape = x.shape[:-1]
+        xf = x.reshape((-1, x.shape[-1]))
+        B = xf.shape[0]
+        out = jnp.zeros_like(xf)
+        if pairs:
+            # group x by type
+            xg = {t.key: xf[:, t.indices].reshape(B, t.mult, t.atom.size)
+                  for t in tg}
+            y_per_type = {}
+            for p in pairs:
+                to, ti = tg[p["io"]], tg[p["ii"]]
+                do, mo = to.atom.size, to.mult
+                di, mi = ti.atom.size, ti.mult
+                x_tau = xg[p["tau"]][:, p["sel"], :]        # (B, n, d_tau)
+                w = params[p["offset"]:p["offset"] + p["slots"] * p["n"]]
+                w = w.reshape(mo * mi, p["n"])
+                blocks = jnp.einsum("kn,bnd->bkd", w, x_tau)
+                blocks = blocks.reshape(B, mo, mi, do, di)
+                y = jnp.einsum("bomde,bme->bod", blocks, xg[ti.key])
+                if to.key in y_per_type:
+                    y_per_type[to.key] = y_per_type[to.key] + y
+                else:
+                    y_per_type[to.key] = y
+            for t in tg:
+                if t.key in y_per_type:
+                    out = out.at[:, t.indices].add(
+                        y_per_type[t.key].reshape(B, t.mult * t.atom.size))
+        if s1 is not None:
+            w1 = params[s1["pidx"]]                            # (P,)
+            contrib = w1 * xf[:, s1["sels"]] * xf[:, s1["cols"]]
+            out = out.at[:, s1["rows"]].add(contrib)
+        return (0.1 * out).reshape(bshape + (x.shape[-1],))
+
+
+class GatedNonlinearity(nn.Module):
+    """Gated nonlinearity (nn.py:69-82)."""
+    rep: SumRep
+
+    def __call__(self, values):
+        idx = gate_indices(self.rep)
+        gate_scalars = values[..., idx]
+        return jax.nn.sigmoid(gate_scalars) * values[..., :self.rep.size]
+
+
+class EMLPBlock(nn.Module):
+    """G-Linear -> (+ BiLinear) -> gated nonlinearity (nn.py:85-99)."""
+    rep_in: SumRep
+    rep_out: SumRep
+
+    @nn.compact
+    def __call__(self, x):
+        grep = gated(self.rep_out)
+        lin = EquivLinear(self.rep_in, grep, name="linear")(x)
+        preact = EquivBiLinear(grep, name="bilinear")(lin) + lin
+        return GatedNonlinearity(self.rep_out, name="nonlinearity")(preact)
+
+
+class EMLP(nn.Module):
+    """Equivariant MLP: EMLPBlocks + final EquivLinear (nn.py:153-193).
+
+    ``reps`` = [rep_in, hidden..., ]; output layer maps hidden[-1]->rep_out.
+    """
+    reps: Tuple[SumRep, ...]
+    rep_out: SumRep
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (rin, rout) in enumerate(zip(self.reps, self.reps[1:])):
+            x = EMLPBlock(rin, rout, name=f"block{i}")(x)
+        return EquivLinear(self.reps[-1], self.rep_out, name="head")(x)
+
+
+def spectral_weights(params) -> Tuple[List, List]:
+    """Raw weight matrices + bilinear params for spectral-norm
+    regularization, matching the reference's traversal (EMLPBlock.linear
+    weight + bilinear bi_params, final Linear weight —
+    spectral_norm_regularization.py:39-45)."""
+    ws, extras = [], []
+
+    def visit(tree):
+        if not isinstance(tree, dict):
+            return
+        for k in sorted(tree.keys()):
+            v = tree[k]
+            if k == "kernel":
+                ws.append(v)
+            elif k == "bi_params":
+                extras.append(v)
+            elif isinstance(v, dict):
+                visit(v)
+
+    visit(params["params"] if "params" in params else params)
+    return ws, extras

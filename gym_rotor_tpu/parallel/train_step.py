@@ -1,0 +1,138 @@
+"""Sharded actor-learner superstep: rollout -> replay insert -> U learner
+updates as ONE jitted shard_map program over the ``env`` mesh axis.
+
+Layout (SURVEY.md §7.6):
+* env state, trajectory state, observations, rollout transitions, and the
+  replay ring all shard along the env/capacity axis — each device owns
+  ``num_envs / n_devices`` environments and its slice of the replay buffer,
+  and samples learner sub-batches from its *local* slice;
+* agent parameters and optimizer states are replicated; per-device gradients
+  are pmean-reduced over the mesh axis inside the update (XLA emits the
+  all-reduce over ICI/DCN), so parameters stay bit-identical across devices;
+* the whole superstep is one XLA program: no host round-trips between acting
+  and learning, which is what makes 10M+ env-steps/s sustainable.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..algos import replay as replay_lib
+from ..algos import td3 as td3_lib
+from ..envs import batch as batch_lib
+from ..utils.config import Config
+
+
+def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
+                               rollout_len: int = 1, n_updates: int = 1,
+                               train_fn=None):
+    """Build the jitted sharded superstep.
+
+    Returns ``step(bstate, obs, replay, states, key, noise_std)`` ->
+    ``(bstate, obs, replay, states, metrics)`` where bstate/obs/replay are
+    env-axis sharded and states are replicated.
+    """
+    axis = cfg.mesh_axis
+    train_fn = train_fn or td3_lib.train_step
+    n_dev = mesh.devices.size
+    local_batch = max(cfg.batch_size // n_dev, 1)
+
+    env_spec = P(axis)
+    rep_spec = P()
+
+    def _obs_specs():
+        n = cfg.n_agents
+        return tuple(env_spec for _ in range(n))
+
+    replay_specs = replay_lib.ReplayState(
+        obs=_obs_specs(), act=_obs_specs(), rwd=_obs_specs(),
+        next_obs=_obs_specs(), done=_obs_specs(),
+        ptr=rep_spec, filled=rep_spec,
+    )
+
+    def body(bstate, obs, rstate, states, key, noise_std):
+        # Per-device key stream
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        k_roll, k_upd = jax.random.split(key)
+
+        def policy(ps, ob, k):
+            acts = []
+            for i, agent in enumerate(agents):
+                k, sub = jax.random.split(k)
+                acts.append(agent.choose_action(ps[i], ob[i], noise_std, sub))
+            return jnp.concatenate(acts, axis=-1)
+
+        bstate, obs, trs, outs = batch_lib.rollout(
+            cfg, bstate, obs, k_roll, policy, states, rollout_len)
+        rstate = replay_lib.insert_rollout(rstate, trs)
+
+        def upd(carry, k):
+            states = carry
+            ks, ku = jax.random.split(k)
+            b = replay_lib.sample(rstate, ks, local_batch)
+            states, metrics = train_fn(cfg, agents, states, b, ku,
+                                       axis_name=axis)
+            return states, metrics
+
+        keys = jax.random.split(k_upd, n_updates)
+        states, metrics = jax.lax.scan(upd, states, keys)
+        metrics = jax.tree.map(lambda m: m[-1], metrics)
+        mean_reward = jax.lax.pmean(trs.reward.mean(), axis)
+        metrics["mean_reward"] = mean_reward
+        return bstate, obs, rstate, states, metrics
+
+    def build(bstate, obs, states):
+        in_specs = (
+            jax.tree.map(lambda _: env_spec, bstate),
+            jax.tree.map(lambda _: env_spec, obs),
+            replay_specs,
+            jax.tree.map(lambda _: rep_spec, states),
+            rep_spec, rep_spec,
+        )
+        out_specs = (
+            jax.tree.map(lambda _: env_spec, bstate),
+            jax.tree.map(lambda _: env_spec, obs),
+            replay_specs,
+            jax.tree.map(lambda _: rep_spec, states),
+            rep_spec,
+        )
+        return jax.jit(shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ))
+
+    compiled = {}
+
+    def step(bstate, obs, rstate, states, key, noise_std):
+        if "fn" not in compiled:
+            compiled["fn"] = build(bstate, obs, states)
+        return compiled["fn"](bstate, obs, rstate, states, key,
+                              jnp.asarray(noise_std, jnp.float32))
+
+    return step
+
+
+def sharded_init(cfg: Config, mesh: Mesh, key, env_type="train"):
+    """Reset batched envs + replay with env-axis shardings applied."""
+    axis = cfg.mesh_axis
+    env_sh = NamedSharding(mesh, P(axis))
+    bstate, obs = batch_lib.batched_reset(cfg, key, env_type)
+    bstate = jax.device_put(bstate, env_sh)
+    obs = jax.device_put(obs, env_sh)
+    rstate = replay_lib.create(cfg.replay_buffer_size, cfg.obs_dim_n,
+                               cfg.action_dim_n)
+    rstate = replay_lib.ReplayState(
+        obs=jax.device_put(rstate.obs, env_sh),
+        act=jax.device_put(rstate.act, env_sh),
+        rwd=jax.device_put(rstate.rwd, env_sh),
+        next_obs=jax.device_put(rstate.next_obs, env_sh),
+        done=jax.device_put(rstate.done, env_sh),
+        ptr=jax.device_put(rstate.ptr, NamedSharding(mesh, P())),
+        filled=jax.device_put(rstate.filled, NamedSharding(mesh, P())),
+    )
+    return bstate, obs, rstate

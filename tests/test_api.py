@@ -1,0 +1,136 @@
+"""Classful API + analysis-tool tests, incl. behavioral parity of the
+DOP853 wrapper path against the actual reference implementation."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from gym_rotor_tpu import make
+from gym_rotor_tpu.utils.seeding import (benchmark_reward_func,
+                                         get_error_state, set_seed)
+
+REF_PATH = "/root/reference"
+HAS_REF = os.path.isdir(REF_PATH)
+
+
+def test_make_registry():
+    env = make("Coupled-v0")
+    assert env.max_episode_steps == 10000
+    with pytest.raises(KeyError):
+        make("Nope-v0")
+
+
+def test_classful_coupled_roundtrip():
+    env = make("Coupled-v0")
+    set_seed(env, 7)
+    state = env.reset("eval")
+    assert state.shape == (18,)
+    obs_n = env.get_norm_error_state("MONO")
+    assert obs_n[0].shape == (23,)
+    obs_n, rwd, done, trunc, info = env.step(np.zeros(4))
+    assert len(rwd) == 1 and len(done) == 1
+    assert 0.0 <= rwd[0] <= 1.0 or rwd[0] == -1.0
+    ex, eIx, ev, eb1, eIb1 = get_error_state(
+        obs_n, env.x_lim, env.v_lim, env.eIx_lim, env.eIb1_lim, "MONO")
+    assert ex.shape == (3,)
+    assert 0.0 <= benchmark_reward_func(ex, eb1) <= 1.0
+
+
+def test_classful_decoupled_roundtrip():
+    env = make("Decoupled-v0")
+    set_seed(env, 8)
+    env.reset("train")
+    obs_n, rwd, done, trunc, info = env.step(np.zeros(5))
+    assert obs_n[0].shape == (15,) and obs_n[1].shape == (3,)
+    assert len(rwd) == 2 and len(done) == 2
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference checkout not available")
+def test_wrapper_parity_vs_reference(monkeypatch):
+    """Same seed, same actions: our DOP853 CoupledWrapper tracks the
+    reference's adaptive-DOP853 wrapper to integration tolerance."""
+    monkeypatch.syspath_prepend(REF_PATH)
+    monkeypatch.setattr(sys, "argv", ["main.py", "--framework", "MONO"])
+    for m in list(sys.modules):
+        if m.startswith(("gym_rotor.", "args_parse")) or m == "gym_rotor":
+            sys.modules.pop(m)
+    import importlib
+
+    ref_mod = importlib.import_module(
+        "gym_rotor.wrappers.coupled_yaw_wrapper")
+    ref_env = ref_mod.CoupledWrapper()
+
+    ours = make("Coupled-v0")
+
+    set_seed(ref_env, 1992)
+    ref_env.reset(env_type="eval", seed=1992)
+    set_seed(ours, 1992)
+    ours.reset("eval")
+    np.testing.assert_allclose(ours.state, ref_env.state, atol=1e-12)
+
+    rng = np.random.default_rng(5)
+    for i in range(100):
+        a = rng.uniform(-0.15, 0.15, 4)
+        ref_obs, ref_rwd, ref_done, _, _ = ref_env.step(a.copy())
+        our_obs, our_rwd, our_done, _, _ = ours.step(a.copy())
+        np.testing.assert_allclose(
+            ours.state, ref_env.state, rtol=0, atol=1e-6,
+            err_msg=f"state diverged at step {i}")
+        np.testing.assert_allclose(our_obs[0], ref_obs[0], atol=1e-5)
+        np.testing.assert_allclose(our_rwd[0], ref_rwd[0], atol=1e-4)
+        assert bool(our_done[0]) == bool(ref_done[0])
+        if ref_done[0]:
+            break
+    for m in list(sys.modules):
+        if m.startswith(("gym_rotor.", "args_parse")) or m == "gym_rotor":
+            sys.modules.pop(m)
+
+
+def test_analysis_roundtrip(tmp_path):
+    """FlightLog writer -> draw_plot parser -> reconstruction -> RMSE."""
+    from gym_rotor_tpu.analysis import draw_plot
+    from gym_rotor_tpu.utils.logging import FlightLog
+
+    rng = np.random.default_rng(0)
+    fl = FlightLog()
+    T = 50
+    for t in range(T):
+        state = np.zeros(18)
+        state[6:15] = np.eye(3).reshape(9, order="F")
+        state[0:3] = rng.uniform(-0.1, 0.1, 3)
+        fl.append(
+            action=rng.uniform(-0.2, 0.2, 4), state18=state,
+            eIx=np.zeros(3), eb1=0.01, eIb1=0.0,
+            xd=np.zeros(3), vd=np.zeros(3),
+            b1c=np.array([1.0, 0, 0]), Wd=np.zeros(3))
+    path = fl.save(str(tmp_path), "MONO")
+    assert path is not None
+
+    log = draw_plot.parse_log(path, "MONO")
+    assert log.state.shape == (T, 18)
+    log = draw_plot.reconstruct_wrench(log)
+    assert log.forces.shape == (T, 4)
+    # mixing consistency: forces_to_fM @ forces == (f, M)
+    from gym_rotor_tpu.envs.oracle import OracleParams
+    p = OracleParams.nominal()
+    fM = log.forces @ p.forces_to_fM.T
+    np.testing.assert_allclose(fM[:, 0], log.f_total, atol=1e-8)
+    np.testing.assert_allclose(fM[:, 1:4], log.M, atol=1e-8)
+    rep = draw_plot.rmse_report(log)
+    assert np.isfinite(list(rep.values())).all()
+    paths = draw_plot.plot_all(log, str(tmp_path))
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_renderer_offscreen(tmp_path):
+    from gym_rotor_tpu.render import Renderer
+
+    r = Renderer(interactive=False)
+    for i in range(3):
+        R = np.eye(3)
+        r.draw(np.array([0.1 * i, 0, -0.3]), R, np.zeros(3),
+               np.array([1.0, 0, 0]))
+    p = r.save(str(tmp_path / "frame.png"))
+    assert os.path.exists(p)
+    r.close()
