@@ -231,3 +231,45 @@ def test_td3_emlp_training_step():
         states, metrics = step(states, batch, jax.random.PRNGKey(it))
     assert np.isfinite(float(metrics["agent0/critic_loss"]))
     assert np.isfinite(float(metrics["agent1/critic_loss"]))
+
+
+# ---------------------------------------------------------------- interface
+def test_batched_gram_schmidt_orthonormal():
+    from gym_rotor_tpu.models.emlp.interface import batched_gram_schmidt
+
+    rng = np.random.default_rng(0)
+    bvv = jnp.asarray(rng.normal(size=(5, 3, 3)), jnp.float32)
+    q = batched_gram_schmidt(bvv)
+    qtq = jnp.einsum("bik,bil->bkl", q, q)
+    np.testing.assert_allclose(np.asarray(qtq),
+                               np.broadcast_to(np.eye(3), (5, 3, 3)),
+                               atol=1e-5)
+
+
+def test_group_augmentation_of_equivariant_fn_is_exact():
+    """Symmetrizing an already-equivariant map must not change it."""
+    from gym_rotor_tpu.models.emlp.interface import group_augmentation
+
+    so2 = G.SO2eR3()
+    rep = R.Vector(so2)
+    # rotation about z commutes with any diag(a, a, b) linear map
+    W = jnp.asarray(np.diag([2.0, 2.0, 5.0]), jnp.float32)
+    fn = lambda x: x @ W.T
+    x = jnp.asarray(RNG.normal(size=(4, 3)), jnp.float32)
+    y = group_augmentation(fn, rep, rep, so2, x, n_samples=3)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(fn(x)), atol=1e-5)
+
+
+def test_interface_module_runs():
+    from gym_rotor_tpu.models.emlp.interface import Interface
+
+    grp = G.O(3)
+    rep = R.Vector(grp) * 2
+    model = lambda x: x  # identity over the rep
+    iface = Interface(model=model, rep_in=rep, rep_out=rep, group=grp,
+                      io_ch=24)
+    x = jnp.asarray(RNG.normal(size=(3, 6)), jnp.float32)
+    params = iface.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+    y = iface.apply(params, x, jax.random.PRNGKey(2))
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()

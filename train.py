@@ -211,6 +211,36 @@ class Learner:
         self._eval = jax.jit(eval_rollout)
 
     # ------------------------------------------------------------------
+    # Full-train-state checkpointing (what the reference lacks: optimizer,
+    # replay cursor, RNG and step counters travel with the params —
+    # SURVEY.md §5 "checkpoint/resume").
+    def checkpoint_tree(self):
+        tree = {
+            "states": self.states,
+            "key": self.key,
+            "total_timesteps": self.total_timesteps,
+            "explor_noise_std": self.explor_noise_std,
+        }
+        if self.cfg.rl_algo in ("TD3", "SAC") and self.cfg.checkpoint_replay:
+            tree["replay"] = self.replay
+        return tree
+
+    def save_checkpoint(self, path=None):
+        path = path or self.cfg.checkpoint_path
+        return ckpt.save_train_state(path, self.checkpoint_tree())
+
+    def load_checkpoint(self, path=None):
+        path = path or self.cfg.checkpoint_path
+        tree = ckpt.load_train_state(path, self.checkpoint_tree())
+        self.states = tree["states"]
+        self.key = tree["key"]
+        self.total_timesteps = int(tree["total_timesteps"])
+        self.explor_noise_std = float(tree["explor_noise_std"])
+        if "replay" in tree:
+            self.replay = tree["replay"]
+        return self
+
+    # ------------------------------------------------------------------
     def eval_policy(self):
         rewards, bench, success, ex, eb1 = self._eval(
             self.states, jax.random.PRNGKey(EVAL_SEED))
@@ -236,6 +266,8 @@ class Learner:
         ppo_horizon = []
         next_eval = cfg.eval_freq
         last_report = time.perf_counter()
+        next_ckpt = (self.total_timesteps + cfg.checkpoint_freq
+                     if cfg.checkpoint_freq else None)
 
         while self.total_timesteps < cfg.max_timesteps:
             self.key, k1, k2, k3 = jax.random.split(self.key, 4)
@@ -305,6 +337,10 @@ class Learner:
                             i, cfg.seed, solved=True)
                 next_eval += cfg.eval_freq
 
+            if next_ckpt is not None and self.total_timesteps >= next_ckpt:
+                self.save_checkpoint()
+                next_ckpt += cfg.checkpoint_freq
+
             if time.perf_counter() - last_report > 10.0:
                 es, us = thr.rates()
                 print(f"t={self.total_timesteps}  env-steps/s={es:,.0f}  "
@@ -345,6 +381,10 @@ def main(argv=None):
           f"integrator: {cfg.integrator}")
     print("-" * 100)
     learner = Learner(cfg)
+    if cfg.resume and os.path.exists(cfg.checkpoint_path):
+        learner.load_checkpoint()
+        print(f"resumed from {cfg.checkpoint_path} at "
+              f"t={learner.total_timesteps}")
     learner.eval_policy()
     learner.train_policy()
 
