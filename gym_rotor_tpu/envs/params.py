@@ -100,21 +100,13 @@ def randomize(key: jax.Array, udm_percentage: float = 10.0,
     independent PRNG split.
     """
     u = udm_percentage / 100.0
-    ks = jax.random.split(key, 6)
-
-    def unif(k, nominal_v, frac):
-        nominal_v = jnp.asarray(nominal_v, dtype)
-        r = nominal_v * frac
-        return jax.random.uniform(
-            k, (), dtype, minval=nominal_v - r, maxval=nominal_v + r
-        )
-
-    m = unif(ks[0], M_NOMINAL, u)
-    d = unif(ks[1], D_NOMINAL, u)
-    J1 = unif(ks[2], J_NOMINAL[0], u)
-    J3 = unif(ks[3], J_NOMINAL[2], u)
-    c_tf = unif(ks[4], C_TF_NOMINAL, u)
-    c_tw = unif(ks[5], C_TW_NOMINAL, u / 2.0)
+    nom = jnp.asarray(
+        [M_NOMINAL, D_NOMINAL, J_NOMINAL[0], J_NOMINAL[2],
+         C_TF_NOMINAL, C_TW_NOMINAL], dtype)
+    frac = jnp.asarray([u, u, u, u, u, u / 2.0], dtype)
+    z = jax.random.uniform(key, (6,), dtype, -1.0, 1.0)
+    vals = nom + nom * frac * z
+    m, d, J1, J3, c_tf, c_tw = (vals[i] for i in range(6))
     J = jnp.stack([J1, J1, J3], axis=-1)
     return _derive(m, d, J, c_tf, c_tw, dtype)
 

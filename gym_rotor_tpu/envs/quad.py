@@ -52,10 +52,14 @@ class StepOut(NamedTuple):
 
 
 def _ensure_R(cfg: Config, R):
-    """Re-orthonormalize R per the configured strategy."""
+    """Re-orthonormalize R on *read*, exactly like the reference
+    (quad_utils.py:12-16) — only needed on the exact/parity path.  The fast
+    path maintains the invariant that the stored R is already orthonormal
+    (one polar repair per step, applied post-integration), so reads are
+    passthrough."""
     if cfg.exact_so3:
         return so3.ensure_so3_exact(R)
-    return so3.polar_fast(R)
+    return R
 
 
 # ----------------------------------------------------------------------------
@@ -67,7 +71,8 @@ def action_quad(p: QuadParams, a):
         p.scale_act[..., None] * a + p.avrg_act[..., None],
         p.min_force[..., None], p.max_force[..., None],
     )
-    fM = jnp.einsum("...ij,...j->...i", p.forces_to_fM, forces)
+    fM = jnp.einsum("...ij,...j->...i", p.forces_to_fM, forces,
+                    precision="highest")
     return fM[..., 0], fM[..., 1:4], forces
 
 
@@ -398,7 +403,7 @@ def reset(cfg: Config, key: jax.Array, env_type: str = "train",
     (main.py:126-129), which performs one integral update; that update is
     folded in here so training loops see identical integral dynamics.
     """
-    k_param, k_branch, k_x, k_v, k_W, k_rp, k_yaw, k_next = jax.random.split(key, 8)
+    k_param, k_branch, k_x, k_next = jax.random.split(key, 4)
 
     if cfg.use_UDM and env_type == "train":
         p = params_lib.randomize(k_param, cfg.UDM_percentage, dtype)
@@ -411,14 +416,17 @@ def reset(cfg: Config, key: jax.Array, env_type: str = "train",
     init_R = init_R.astype(dtype)
     init_W = init_W.astype(dtype)
 
-    x = jax.random.uniform(k_x, (3,), dtype, -init_x, init_x)
-    v = jax.random.uniform(k_v, (3,), dtype, -init_v, init_v)
-    W = jax.random.uniform(k_W, (3,), dtype, -init_W, init_W)
-    roll_pitch = jax.random.uniform(k_rp, (2,), dtype, -init_R, init_R)
-    yaw = jax.random.uniform(k_yaw, (1,), dtype, -jnp.pi, jnp.pi)
+    # one fused uniform draw for all 12 initial-state values
+    u = jax.random.uniform(k_x, (12,), dtype, -1.0, 1.0)
+    x = u[0:3] * init_x
+    v = u[3:6] * init_v
+    W = u[6:9] * init_W
+    roll_pitch = u[9:11] * init_R
+    yaw = u[11:12] * jnp.pi
     euler = jnp.concatenate([roll_pitch, yaw])
-    R = so3.euler_to_rot(euler)
-    R = so3.ensure_so3_exact(R) if cfg.exact_so3 else so3.polar_fast(R)
+    R = so3.euler_to_rot(euler)  # orthonormal by construction
+    if cfg.exact_so3:
+        R = so3.ensure_so3_exact(R)
 
     z3 = jnp.zeros(3, dtype)
     state = EnvState(

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..ops import so3
-from .dynamics import dot3, mv3
+from .dynamics import dot3, mm3, mv3
 from .quad import DT
 from .state import Goal
 
@@ -380,7 +380,31 @@ _MODES = [_mode_idle, _mode_hover, _mode_takeoff, _mode_land, _mode_stay,
 def get_desired(ts: TrajState, x, v, R, W, mode) -> Tuple[TrajState, Goal]:
     """get_desired equivalent (trajectory_generator.py:113-173): handle mode
     changes, run the active mode branch (or manual hold), then compute Wd
-    from the heading kinematics."""
+    from the heading kinematics.
+
+    Fast path: when ``mode`` is a static Python int (the training loop's
+    fixed train_traj_mode), the single branch compiles directly — no
+    lax.switch over all seven modes, no mode-change bookkeeping (episode
+    restarts go through mark_traj_start), and the manual-hold overlay is
+    dropped for modes that can never complete (0 and 1)."""
+    if isinstance(mode, int):
+        branch = min(max(mode, 0), len(_MODES) - 1)
+        ts = ts.replace(mode=jnp.full_like(ts.mode, mode))
+        auto = _MODES[branch](ts, x, v, R)
+        if mode >= 2:
+            man = _mode_manual(ts, x, v, R)
+            use_man = ts.manual_mode
+            ts = jax.tree.map(
+                lambda a, b: jnp.where(
+                    use_man.reshape(
+                        use_man.shape + (1,) * (a.ndim - use_man.ndim)),
+                    b, a),
+                auto, man,
+            )
+        else:
+            ts = auto
+        return _with_wd(ts, R, W)
+
     mode = jnp.asarray(mode, jnp.int32)
     changed = mode != ts.mode
     restarted = mark_traj_start(ts, x, R)
@@ -402,10 +426,14 @@ def get_desired(ts: TrajState, x, v, R, W, mode) -> Tuple[TrajState, Goal]:
             b, a),
         auto, man,
     )
+    return _with_wd(ts, R, W)
+
+
+def _with_wd(ts: TrajState, R, W) -> Tuple[TrajState, Goal]:
 
     # Wd from b1c kinematics (trajectory_generator.py:164-172)
     b3 = R[..., :, 2]
-    b3_dot = (R @ so3.hat(W))[..., :, 2]
+    b3_dot = mm3(R, so3.hat(W))[..., :, 2]
     b1d, b1d_dot = ts.b1d, ts.b1d_dot
     b1c = b1d - dot3(b1d, b3)[..., None] * b3
     b1c_dot = b1d_dot - (

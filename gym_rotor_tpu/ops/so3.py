@@ -190,12 +190,27 @@ def rot_z(a):
     )
 
 
+def mm3(A, B):
+    """3x3 matmul as elementwise ops with fixed left-to-right summation.
+
+    Two reasons to avoid ``@`` for tiny matrices on the hot path: (1) on TPU
+    a dot lowers to the MXU at DEFAULT precision (bf16 inputs), silently
+    costing ~3 decimal digits; mm3 stays on the VPU in full f32.  (2) the
+    fixed association order matches the NumPy parity oracle bit-for-bit.
+    """
+    return (
+        A[..., :, 0:1] * B[..., 0:1, :]
+        + A[..., :, 1:2] * B[..., 1:2, :]
+    ) + A[..., :, 2:3] * B[..., 2:3, :]
+
+
 def euler_to_rot(euler):
     """R = Rz @ Ry @ Rx — matches reference eulerAnglesToRotationMatrix
     (quad_utils.py:180-196) and scipy Rotation.from_euler('xyz', ...)
     extrinsic convention used in reset (quad.py:199).
     """
-    return rot_z(euler[..., 2]) @ (rot_y(euler[..., 1]) @ rot_x(euler[..., 0]))
+    return mm3(rot_z(euler[..., 2]),
+               mm3(rot_y(euler[..., 1]), rot_x(euler[..., 0])))
 
 
 def rot_to_euler(R):

@@ -30,12 +30,15 @@ from ..utils.config import Config
 
 def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
                                rollout_len: int = 1, n_updates: int = 1,
-                               train_fn=None):
+                               train_fn=None, act_fn=None):
     """Build the jitted sharded superstep.
 
     Returns ``step(bstate, obs, replay, states, key, noise_std)`` ->
     ``(bstate, obs, replay, states, metrics)`` where bstate/obs/replay are
     env-axis sharded and states are replicated.
+
+    ``act_fn(states, obs_tuple, noise_std, key) -> joint action`` overrides
+    the default TD3 noisy-deterministic policy (e.g. SAC sampling).
     """
     axis = cfg.mesh_axis
     train_fn = train_fn or td3_lib.train_step
@@ -61,6 +64,8 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
         k_roll, k_upd = jax.random.split(key)
 
         def policy(ps, ob, k):
+            if act_fn is not None:
+                return act_fn(ps, ob, noise_std, k)
             acts = []
             for i, agent in enumerate(agents):
                 k, sub = jax.random.split(k)

@@ -132,10 +132,10 @@ def test_mode_change_restarts():
     R = jnp.eye(3, dtype=jnp.float64)
     W = jnp.zeros(3, jnp.float64)
     for _ in range(50):
-        ts, g = traj.get_desired(ts, x, v, R, W, 1)
+        ts, g = traj.get_desired(ts, x, v, R, W, jnp.asarray(1))
     t_before = float(ts.t)
     assert t_before > 0.2
-    ts, g = traj.get_desired(ts, x, v, R, W, 5)  # switch hover -> circle
+    ts, g = traj.get_desired(ts, x, v, R, W, jnp.asarray(5))  # switch hover -> circle (dynamic-mode path)
     assert float(ts.t) == pytest.approx(traj.DT)  # restarted
     assert int(ts.mode) == 5
 

@@ -350,6 +350,73 @@ class Learner:
         tl.close()
 
     # ------------------------------------------------------------------
+    def train_policy_sharded(self, rollout_len: int = 50):
+        """Multi-device training: the whole rollout+replay+update superstep
+        runs as one shard_map program over an ``env`` mesh axis spanning all
+        devices (SURVEY.md §7.6).  Used automatically by main() when more
+        than one device is visible and the algo is off-policy."""
+        from gym_rotor_tpu.algos import sac as sac_lib
+        from gym_rotor_tpu.parallel import mesh as mesh_lib
+        from gym_rotor_tpu.parallel.train_step import (
+            make_sharded_td3_superstep, sharded_init)
+
+        cfg = self.cfg
+        assert cfg.rl_algo in ("TD3", "SAC"), "sharded path is off-policy"
+        mesh = mesh_lib.make_mesh()
+        n_dev = mesh.devices.size
+        print(f"sharded training over {n_dev} devices, "
+              f"{cfg.num_envs} envs, rollout_len={rollout_len}")
+        self.states = [jax.device_put(s, mesh_lib.replicated(mesh))
+                       for s in self.states]
+        self.key, ek = jax.random.split(self.key)
+        bstate, obs, rstate = sharded_init(cfg, mesh, ek)
+
+        n_updates = max(int(round(cfg.updates_per_step)), 1)
+        act_fn = None
+        train_fn = None
+        if cfg.rl_algo == "SAC":
+            train_fn = sac_lib.train_step
+
+            def act_fn(states, ob, noise_std, k):
+                acts = []
+                for i, a in enumerate(self.agents):
+                    k, sub = jax.random.split(k)
+                    acts.append(a.choose_action(states[i], ob[i], sub))
+                return jnp.concatenate(acts, axis=-1)
+
+        step = make_sharded_td3_superstep(
+            cfg, self.agents, mesh, rollout_len=rollout_len,
+            n_updates=n_updates, train_fn=train_fn, act_fn=act_fn)
+
+        tl = logs.TextLogs(self.results_dir, cfg.seed)
+        thr = logs.Throughput()
+        next_eval = cfg.eval_freq
+        last_report = time.perf_counter()
+        steps_per_call = cfg.num_envs * rollout_len
+        while self.total_timesteps < cfg.max_timesteps:
+            self.key, sub = jax.random.split(self.key)
+            bstate, obs, rstate, self.states, metrics = step(
+                bstate, obs, rstate, self.states, sub,
+                self.explor_noise_std)
+            self.total_timesteps += steps_per_call
+            thr.add(env_steps=steps_per_call, updates=n_updates)
+            if cfg.rl_algo == "TD3" and cfg.use_explor_noise_decay:
+                self.explor_noise_std = max(
+                    self.explor_noise_std
+                    - self.noise_std_decay * steps_per_call,
+                    cfg.explor_noise_std_min)
+            if self.total_timesteps >= next_eval:
+                rewards, bench, success = self.eval_policy()
+                tl.log_eval(self.total_timesteps, bench, list(rewards))
+                next_eval += cfg.eval_freq
+            if time.perf_counter() - last_report > 10.0:
+                es, us = thr.rates()
+                print(f"t={self.total_timesteps}  env-steps/s={es:,.0f}  "
+                      f"updates/s={us:,.1f}")
+                last_report = time.perf_counter()
+        tl.close()
+
+    # ------------------------------------------------------------------
     def _split_action(self, action):
         outs, off = [], 0
         for d in self.cfg.action_dim_n:
@@ -386,7 +453,10 @@ def main(argv=None):
         print(f"resumed from {cfg.checkpoint_path} at "
               f"t={learner.total_timesteps}")
     learner.eval_policy()
-    learner.train_policy()
+    if len(jax.devices()) > 1 and cfg.rl_algo in ("TD3", "SAC"):
+        learner.train_policy_sharded()
+    else:
+        learner.train_policy()
 
 
 if __name__ == "__main__":
