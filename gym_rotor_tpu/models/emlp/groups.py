@@ -362,6 +362,177 @@ class GL(Group):
         self._init(n)
 
 
+class U(Group):
+    """Unitary group U(n): complex Lie algebra of anti-Hermitian matrices
+    (groups.py:417-440).  Complex generators are supported by the constraint
+    solver; the NN layers are real-valued (same practical scope as the
+    reference torch port)."""
+
+    def __init__(self, n):
+        super().__init__()
+        self.d = n
+        A = np.zeros((n * n, n, n), dtype=complex)
+        k = 0
+        for i in range(n):
+            for j in range(i):
+                A[k, i, j] = 1
+                A[k, j, i] = -1
+                k += 1
+                A[k, i, j] = 1j
+                A[k, j, i] = 1j
+                k += 1
+        for i in range(n):
+            A[k, i, i] = 1j
+            k += 1
+        self.lie_algebra = A
+        self._init(n)
+
+    def _init(self, *args):
+        # complex-aware flag detection (anti-Hermitian algebra is "unitary")
+        self.args = args
+        if not hasattr(self, "discrete_generators"):
+            self.discrete_generators = np.zeros((0, self.d, self.d),
+                                                dtype=complex)
+        self.lie_algebra = np.asarray(self.lie_algebra)
+        self.discrete_generators = np.asarray(self.discrete_generators)
+        self.is_orthogonal = bool(
+            np.allclose(-np.conj(np.swapaxes(self.lie_algebra, -1, -2)),
+                        self.lie_algebra, atol=1e-6))
+        self.is_permutation = False
+
+
+class SU(U):
+    """Special unitary group SU(n): traceless anti-Hermitian algebra
+    (groups.py:443-459)."""
+
+    def __init__(self, n):
+        Group.__init__(self)
+        self.d = n
+        full = U(n).lie_algebra
+        # project out the trace, then keep a linearly independent subset
+        # (n^2 - 1 generators)
+        A = []
+        for M in full:
+            M = M - np.eye(n) * (np.trace(M) / n)
+            if np.allclose(M, 0):
+                continue
+            A.append(M)
+        # greedy real-linear-independent subset of the original
+        # (anti-Hermitian) generators — su(n) is a real Lie algebra, so
+        # independence is over R, and members must stay anti-Hermitian
+        kept, basis = [], []
+        for M in A:
+            v = np.concatenate([M.real.reshape(-1), M.imag.reshape(-1)])
+            if basis:
+                Bmat = np.stack(basis + [v])
+                if np.linalg.matrix_rank(Bmat, tol=1e-9) == len(basis):
+                    continue
+            basis.append(v)
+            kept.append(M)
+        self.lie_algebra = np.stack(kept)
+        self._init(n)
+
+
+def _perm_matrix(perm):
+    n = len(perm)
+    M = np.zeros((n, n))
+    M[np.asarray(perm), np.arange(n)] = 1.0
+    return M
+
+
+class Cube(Group):
+    """Discrete rotations of a cube acting on its 6 faces
+    (groups.py:465-474): generated by the Front and Left quarter-turn face
+    permutations."""
+
+    def __init__(self):
+        super().__init__()
+        self.d = 6
+        Fperm = [4, 1, 0, 3, 5, 2]
+        Lperm = [3, 0, 2, 5, 4, 1]
+        self.discrete_generators = np.stack(
+            [_perm_matrix(Fperm), _perm_matrix(Lperm)])
+        self._init()
+
+
+def _pad48(perm):
+    """48-facet permutation -> 6x9 grid with face centers (groups.py:477-483)."""
+    padded = np.zeros((6, 9), dtype=np.int64)
+    r = perm.reshape(6, 8)
+    padded[:, :4] = r[:, :4]
+    padded[:, 5:] = r[:, 4:]
+    return padded
+
+
+def _unpad48(padded):
+    return np.concatenate([padded[:, :4], padded[:, 5:]], -1).reshape(-1)
+
+
+class RubiksCube(Group):
+    """Rubik's cube group G < S_48: all valid 3x3 cube transformations,
+    generated by quarter turns of the six faces (groups.py:512-551).
+    Face order U,F,R,B,L,D."""
+
+    def __init__(self):
+        super().__init__()
+        self.d = 48
+        order_padded = _pad48(np.arange(48))
+        # Up quarter turn: rotate the top face, cycle the adjacent strips
+        order_padded[0, :] = np.rot90(
+            order_padded[0].reshape(3, 3), 1).reshape(9)
+        FRBL = np.array([1, 2, 3, 4])
+        order_padded[FRBL, :3] = order_padded[np.roll(FRBL, 1), :3]
+        Uperm = _unpad48(order_padded)
+        # whole-cube rotations to conjugate the Up turn onto other faces
+        RotFront = _pad48(np.arange(48))
+        URDL = np.array([0, 2, 5, 4])
+        RotFront[URDL, :] = RotFront[np.roll(URDL, 1), :]
+        RotFront = _unpad48(RotFront)
+        RotBack = np.argsort(RotFront)
+        RotLeft = _pad48(np.arange(48))
+        UFDB = np.array([0, 1, 5, 3])
+        RotLeft[UFDB, :] = RotLeft[np.roll(UFDB, 1), :]
+        RotLeft = _unpad48(RotLeft)
+        RotRight = np.argsort(RotLeft)
+
+        Fperm = RotRight[Uperm[RotLeft]]
+        Rperm = RotBack[Uperm[RotFront]]
+        Bperm = RotLeft[Uperm[RotRight]]
+        Lperm = RotFront[Uperm[RotBack]]
+        Dperm = RotRight[RotRight[Uperm[RotLeft[RotLeft]]]]
+        self.discrete_generators = np.stack(
+            [_perm_matrix(p) for p in
+             [Uperm, Fperm, Rperm, Bperm, Lperm, Dperm]])
+        self._init()
+
+
+def _rot90_perm(n, times):
+    """Permutation matrix rotating an n x n grid by 90 deg ``times`` times."""
+    idx = np.arange(n * n).reshape(n, n)
+    rot = np.rot90(idx, times).reshape(-1)
+    return _perm_matrix(rot)
+
+
+class ZksZnxZn(Group):
+    """GCNN group Z_k x| (Z_n x Z_n): 2D translations + discrete rotations
+    (groups.py:554-571)."""
+
+    def __init__(self, k, n):
+        super().__init__()
+        assert k in (2, 4)
+        self.d = k * n * n
+        nshift = Z(n).discrete_generators[0]
+        kshift = Z(k).discrete_generators[0]
+        In = np.eye(n)
+        Ik = np.eye(k)
+        self.discrete_generators = np.stack([
+            np.kron(Ik, np.kron(nshift, In)),
+            np.kron(Ik, np.kron(In, nshift)),
+            np.kron(kshift, _rot90_perm(n, 4 // k)),
+        ])
+        self._init(k, n)
+
+
 class Embed(Group):
     """Embed a group's base representation into a larger vector space
     (groups.py:574-592): generators act on dim_slice, identity elsewhere."""

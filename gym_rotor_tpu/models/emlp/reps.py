@@ -75,7 +75,7 @@ class Atom:
         in dual slots)."""
         d = self.G.d
         n = self.size
-        out = np.zeros((n, n))
+        out = np.zeros((n, n), dtype=np.result_type(A.dtype, np.float64))
         mats = [A] * self.p + [-A.T] * self.q
         for slot in range(self.rank):
             term = np.eye(1)

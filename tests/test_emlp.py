@@ -273,3 +273,22 @@ def test_interface_module_runs():
     y = iface.apply(params, x, jax.random.PRNGKey(2))
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_extended_group_zoo():
+    """Cube/RubiksCube permutation groups, complex U/SU, GCNN semidirect."""
+    c = G.Cube()
+    assert c.is_permutation and c.d == 6
+    r = G.RubiksCube()
+    assert r.is_permutation and r.d == 48
+    for h in r.discrete_generators:
+        np.testing.assert_allclose(np.linalg.matrix_power(h, 4), np.eye(48))
+    u = G.U(2)
+    for A in u.lie_algebra:
+        np.testing.assert_allclose(A + A.conj().T, 0, atol=1e-12)
+    su = G.SU(3)
+    assert len(su.lie_algebra) == 8  # dim su(3)
+    z = G.ZksZnxZn(4, 3)
+    assert z.d == 36 and z.is_permutation
+    # complex constraint solve: U(1) fundamental has no invariant vectors
+    assert R.vec_basis(R.Atom(G.U(1), 1)).shape[1] == 0
