@@ -268,6 +268,9 @@ class Learner:
         last_report = time.perf_counter()
         next_ckpt = (self.total_timesteps + cfg.checkpoint_freq
                      if cfg.checkpoint_freq else None)
+        # per-env episodic return accumulators (reference logs per-episode
+        # rewards to log_step, main.py:218-223)
+        ep_ret = np.zeros((cfg.num_envs, cfg.n_agents), np.float64)
 
         while self.total_timesteps < cfg.max_timesteps:
             self.key, k1, k2, k3 = jax.random.split(self.key, 4)
@@ -308,6 +311,15 @@ class Learner:
                     self.states, metrics = self._ppo_train(
                         self.states, data, k3)
                     ppo_horizon = []
+
+            # episodic-return logging at episode boundaries
+            ep_ret += np.asarray(out.reward, np.float64)
+            resets = np.asarray(out.reset_happened)
+            if resets.any() and self.total_timesteps >= cfg.start_timesteps:
+                finished = ep_ret[resets]
+                tl.log_step(self.total_timesteps,
+                            [round(float(r), 4) for r in finished.mean(0)])
+            ep_ret[resets] = 0.0
 
             if cfg.rl_algo == "TD3" and cfg.use_explor_noise_decay:
                 self.explor_noise_std = max(
