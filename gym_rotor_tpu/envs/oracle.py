@@ -291,7 +291,9 @@ class OracleEnv:
         else:  # quad: per-motor thrusts
             forces = np.clip(p.scale_act * action + p.avrg_act,
                              p.min_force, p.max_force)
-            fM = p.forces_to_fM @ forces
+            F = p.forces_to_fM
+            fM = ((F[:, 0] * forces[0] + F[:, 1] * forces[1])
+                  + (F[:, 2] * forces[2] + F[:, 3] * forces[3]))
             f, M = fM[0], fM[1:4]
 
         # Explicit Euler (quad.py:252-262), fixed-order arithmetic.
@@ -308,6 +310,18 @@ class OracleEnv:
         self.R = R_work + R_dot * DT
         self.W = self.W + W_dot * DT
         self.f_total, self.M_applied = f, M
+
+        if self.task == "quad":
+            # base Quad-v0 (quad.py:245-318, with the scalar-indexing bug of
+            # the reference's base step fixed): obs = raw next state,
+            # reward/done on unnormalized errors
+            obs = self.state18()
+            r = self._reward_quad()
+            r = _interp01(r, float(self.cfg.reward_min))
+            d = self._done_quad()
+            if d:
+                r = -1.0
+            return obs, np.array([r]), np.array([d])
 
         obs = self.norm_error_state()
         if self.task == "coupled":
@@ -357,6 +371,46 @@ class OracleEnv:
         r2 = r2 + -cfg.CIb1 * (abs(eIb1) ** 2)
         r2 = r2 + -cfg.CW3 * (abs(eW3) ** 2)
         return r1, r2
+
+    def _reward_quad(self):
+        """Base reward on raw errors (quad.py:274-298)."""
+        cfg = self.cfg
+        R = ensure_so3(self.R)
+        eX = self.x - self.xd
+        eV = self.v - self.vd
+        b1 = R[:, 0]
+        theta = np.arctan2(b1[1], b1[0])
+        b1_proj = np.array([np.cos(theta), np.sin(theta), 0.0])
+        du = self.b1d / np.linalg.norm(self.b1d)
+        cu = b1_proj / np.linalg.norm(b1_proj)
+        dotp = np.clip(dot3(du, cu), -1.0, 1.0)
+        ang = np.arccos(dotp)
+        if np.sign(np.cross(du, cu)[2]) < 0:
+            ang = -ang
+        eb1 = ang / np.pi  # normalized signed angle (quad_utils.py:157-177)
+        r = -cfg.Cx * _sqnorm(eX)
+        r = r + -cfg.Cb1 * abs(eb1)
+        r = r + -cfg.Cv * _sqnorm(eV)
+        r = r + -cfg.Cw12 * _sqnorm(self.W)
+        return r
+
+    def _done_quad(self):
+        """Base termination incl. Euler tilt limit (quad.py:301-318)."""
+        R = ensure_so3(self.R)
+        sy = np.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
+        if sy < 1e-6:
+            roll = np.arctan2(-R[1, 2], R[1, 1])
+            pitch = np.arctan2(-R[2, 0], sy)
+        else:
+            roll = np.arctan2(R[2, 1], R[2, 2])
+            pitch = np.arctan2(-R[2, 0], sy)
+        r2d = 180.0 / np.pi
+        return bool(
+            (np.abs(self.x) >= X_LIM).any()
+            or (np.abs(self.v) >= V_LIM).any()
+            or (np.abs(self.W) >= W_LIM).any()
+            or abs(roll * r2d) >= EULER_LIM_DEG
+            or abs(pitch * r2d) >= EULER_LIM_DEG)
 
     def _done_coupled(self, o):
         ex, ev, eW = o[0:3], o[6:9], o[20:23]

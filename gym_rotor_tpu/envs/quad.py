@@ -71,8 +71,12 @@ def action_quad(p: QuadParams, a):
         p.scale_act[..., None] * a + p.avrg_act[..., None],
         p.min_force[..., None], p.max_force[..., None],
     )
-    fM = jnp.einsum("...ij,...j->...i", p.forces_to_fM, forces,
-                    precision="highest")
+    # fixed-order 4x4 matvec (parity with the oracle; stays off the MXU)
+    F = p.forces_to_fM
+    fM = (
+        (F[..., :, 0] * forces[..., 0:1] + F[..., :, 1] * forces[..., 1:2])
+        + (F[..., :, 2] * forces[..., 2:3] + F[..., :, 3] * forces[..., 3:4])
+    )
     return fM[..., 0], fM[..., 1:4], forces
 
 
@@ -231,7 +235,8 @@ def reward_quad(cfg: Config, x, v, R, W, goal: Goal):
     """Base Quad-v0 reward on raw (unnormalized) errors (quad.py:274-298)."""
     eX = x - goal.xd
     eV = v - goal.vd
-    eb1 = so3.norm_ang_btw_two_vectors(goal.b1d, so3.heading_b1(R)) * jnp.pi
+    # normalized signed heading angle in [-1, 1) (quad.py:287)
+    eb1 = so3.norm_ang_btw_two_vectors(goal.b1d, so3.heading_b1(R))
     r = -cfg.Cx * _sqnorm(eX)
     r = r + -cfg.Cb1 * jnp.abs(eb1)
     r = r + -cfg.Cv * _sqnorm(eV)
@@ -323,18 +328,30 @@ def step(cfg: Config, state: EnvState, action, task: str = None) -> Tuple[EnvSta
         # reference and repairs on read.
         R_n = so3.polar_fast(R_n)
 
-    # -- 3. normalized error observation + integral updates.
-    ne = norm_error_state(
-        cfg, x_n, v_n, R_n, W_n, state.goal,
-        state.eIx, state.eIx_integrand, state.eIb1, state.eIb1_integrand,
-    )
+    # -- 3. normalized error observation + integral updates (the base env
+    # never touches the integral state inside step — only the wrappers'
+    # get_norm_error_state path does, quad.py:245-271 vs :421-466).
+    if task != "quad":
+        ne = norm_error_state(
+            cfg, x_n, v_n, R_n, W_n, state.goal,
+            state.eIx, state.eIx_integrand, state.eIb1, state.eIb1_integrand,
+        )
 
     # -- 4/5. obs, reward, done per task.
     if task == "quad":
+        R_read = _ensure_R(cfg, R_n)
         obs = pack_state(x_n, v_n, R_n, W_n)
-        reward = reward_quad(cfg, x_n, v_n, ne.R, W_n, state.goal)
-        done = done_quad(x_n, v_n, ne.R, W_n)
+        reward = reward_quad(cfg, x_n, v_n, R_read, W_n, state.goal)
+        done = done_quad(x_n, v_n, R_read, W_n)
         reward = _interp01(reward, float(cfg.reward_min))
+        reward = jnp.where(done, -1.0, reward).astype(dtype)
+        new_state = state.replace(
+            x=x_n, v=v_n, R=R_n, W=W_n, f_total=f, M=M, t=state.t + 1,
+        )
+        info = {"ex": x_n - state.goal.xd,
+                "eb1": jnp.zeros(x_n.shape[:-1], dtype)}
+        return new_state, StepOut(obs=obs, reward=reward, done=done,
+                                 info=info)
     elif task == "coupled":
         obs = build_obs(cfg, ne)
         reward = reward_coupled(cfg, obs)
@@ -364,11 +381,8 @@ def step(cfg: Config, state: EnvState, action, task: str = None) -> Tuple[EnvSta
     # De-normalized errors for driver-level logic (utils/utils.py:21-39).
     if task == "decoupled":
         info = {"ex": obs1[..., 0:3] * X_LIM, "eb1": obs2[..., 0] * jnp.pi}
-    elif task == "coupled":
-        info = {"ex": obs[..., 0:3] * X_LIM, "eb1": obs[..., 18] * jnp.pi}
     else:
-        info = {"ex": x_n - state.goal.xd,
-                "eb1": jnp.zeros(x_n.shape[:-1], dtype)}
+        info = {"ex": obs[..., 0:3] * X_LIM, "eb1": obs[..., 18] * jnp.pi}
     return new_state, StepOut(obs=obs, reward=reward, done=done, info=info)
 
 

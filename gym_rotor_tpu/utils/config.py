@@ -116,6 +116,9 @@ class Config:
     checkpoint_path: str = "./models/train_state.msgpack"
     resume: bool = False              # resume from checkpoint_path
     checkpoint_replay: bool = False   # include the replay ring in the ckpt
+    profile_dir: str = ""             # capture a jax.profiler trace here
+    use_superstep: bool = False       # fuse rollout+replay+updates into one
+                                      # shard_map program even on 1 device
 
     # ------------------------------------------------------------------
     # Derived quantities (reference quad.py:71-88).

@@ -292,3 +292,26 @@ def test_extended_group_zoo():
     assert z.d == 36 and z.is_permutation
     # complex constraint solve: U(1) fundamental has no invariant vectors
     assert R.vec_basis(R.Atom(G.U(1), 1)).shape[1] == 0
+
+
+def test_sac_emlp_training_step():
+    """SAC with equivariant models: one jitted update runs (MONO)."""
+    from gym_rotor_tpu.algos import sac as sac_lib
+    from gym_rotor_tpu.algos.replay import Batch
+
+    cfg = Config(framework="MONO", use_equiv=True)
+    agents = [sac_lib.SACAgent(cfg, 0, zoo.sac_models(cfg, 0))]
+    states = [agents[0].init(jax.random.PRNGKey(0))]
+    n = 8
+    rng = np.random.default_rng(4)
+    batch = Batch(
+        obs=(jnp.asarray(rng.normal(size=(n, 23)), jnp.float32),),
+        act=(jnp.asarray(rng.uniform(-1, 1, (n, 4)), jnp.float32),),
+        rwd=(jnp.asarray(rng.uniform(0, 1, (n, 1)), jnp.float32),),
+        next_obs=(jnp.asarray(rng.normal(size=(n, 23)), jnp.float32),),
+        done=(jnp.zeros((n, 1), jnp.float32),),
+    )
+    step = jax.jit(lambda st, b, k: sac_lib.train_step(cfg, agents, st, b, k))
+    states, metrics = step(states, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["agent0/critic_loss"]))
+    assert np.isfinite(float(metrics["agent0/actor_loss"]))

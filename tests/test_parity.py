@@ -40,7 +40,8 @@ def hover_actions(task, n, seed=0):
 
 
 @pytest.mark.parametrize("framework,task", [("MONO", "coupled"),
-                                            ("MODUL", "decoupled")])
+                                            ("MODUL", "decoupled"),
+                                            ("MONO", "quad")])
 def test_jax_matches_oracle_bitwise_eager(framework, task):
     """Full-trajectory *bitwise* parity in eager float64 (no XLA fusion, so
     every FLOP is the IEEE op the oracle performs in the same order).  The
@@ -62,6 +63,16 @@ def test_jax_matches_oracle_bitwise_eager(framework, task):
             np.testing.assert_array_equal(np.asarray(s.v), o.v, err_msg=f"v step {i}")
             np.testing.assert_array_equal(np.asarray(s.R), o.R, err_msg=f"R step {i}")
             np.testing.assert_array_equal(np.asarray(s.W), o.W, err_msg=f"W step {i}")
+            if task == "quad":
+                # base env: obs is the raw packed state; reward uses
+                # arccos (1-ulp libm slack); integrals untouched by step
+                np.testing.assert_array_equal(np.asarray(out.obs), obs_o)
+                np.testing.assert_allclose(np.asarray(out.reward), r_o,
+                                           rtol=0, atol=1e-6)
+                np.testing.assert_array_equal(np.asarray(out.done), d_o)
+                if d_o.any():
+                    break
+                continue
             np.testing.assert_array_equal(np.asarray(s.eIx), o.eIx)
             # eIb1 flows through arctan2, whose last ulp differs between
             # numpy's libm and XLA — everything else is bitwise.

@@ -465,10 +465,12 @@ def main(argv=None):
         print(f"resumed from {cfg.checkpoint_path} at "
               f"t={learner.total_timesteps}")
     learner.eval_policy()
-    if len(jax.devices()) > 1 and cfg.rl_algo in ("TD3", "SAC"):
-        learner.train_policy_sharded()
-    else:
-        learner.train_policy()
+    with logs.profiler_trace(cfg.profile_dir or None):
+        if ((len(jax.devices()) > 1 or cfg.use_superstep)
+                and cfg.rl_algo in ("TD3", "SAC")):
+            learner.train_policy_sharded()
+        else:
+            learner.train_policy()
 
 
 if __name__ == "__main__":
