@@ -184,8 +184,21 @@ class Learner:
                 last_eb1 = jnp.where(active, out.info["eb1"], last_eb1)
                 # deactivate on crash (cap handled by loop length)
                 active = active & ~jnp.any(out.info["crashed"], axis=-1)
+                ys = None
+                if cfg.save_log:
+                    # flight-log row for env 0 (reference main.py:343-352):
+                    # [action | state18 + eIx + eb1 + eIb1 | xd, vd, b1c, Wd]
+                    from gym_rotor_tpu.envs.state import pack_state
+                    e = jax.tree.map(lambda x: x[0], bs.env)
+                    s18 = pack_state(e.x, e.v, e.R, e.W)
+                    b3 = e.R[:, 2]
+                    b1c = e.goal.b1d - jnp.dot(e.goal.b1d, b3) * b3
+                    eb1 = out.info["eb1"][0]
+                    ys = jnp.concatenate([
+                        action[0], s18, e.eIx, eb1[None], e.eIb1[None],
+                        e.goal.xd, e.goal.vd, b1c, e.goal.Wd])
                 return (bs, out.obs, active, ep_rwd, bench, last_ex,
-                        last_eb1), None
+                        last_eb1), ys
 
             n = eval_cfg.num_envs
             init = (
@@ -195,7 +208,7 @@ class Learner:
                 jnp.zeros((n, 3), jnp.float32),
                 jnp.zeros((n,), jnp.float32),
             )
-            (bs, obs, active, ep_rwd, bench, last_ex, last_eb1), _ = \
+            (bs, obs, active, ep_rwd, bench, last_ex, last_eb1), rows = \
                 jax.lax.scan(body, init, None, length=eval_steps)
             # success: full-length episode and |ex| <= 0.01
             # (+ |eb1| <= 0.01 for MODUL agent 2) (main.py:367-373)
@@ -206,7 +219,7 @@ class Learner:
             else:
                 success = succ_pos[..., None]
             return (ep_rwd.mean(0), bench.mean(0), success,
-                    last_ex.mean(0), last_eb1.mean(0))
+                    last_ex.mean(0), last_eb1.mean(0), rows)
 
         self._eval = jax.jit(eval_rollout)
 
@@ -242,8 +255,19 @@ class Learner:
 
     # ------------------------------------------------------------------
     def eval_policy(self):
-        rewards, bench, success, ex, eb1 = self._eval(
+        rewards, bench, success, ex, eb1, rows = self._eval(
             self.states, jax.random.PRNGKey(EVAL_SEED))
+        if self.cfg.save_log and rows is not None:
+            # write the env-0 flight log in the reference .dat format
+            from datetime import datetime
+            os.makedirs(self.results_dir, exist_ok=True)
+            stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+            path = os.path.join(self.results_dir,
+                                f"{self.cfg.framework}_log_{stamp}.dat")
+            header = ("Actions and States\n"
+                      "action[0], ..., state[0], ..., command[0], ...")
+            np.savetxt(path, np.asarray(rows), header=header, fmt="%.10f")
+            print(f"flight log saved: {path}")
         rewards = np.asarray(rewards)
         print(
             f"total_timesteps: {self.total_timesteps} \t eval_reward: "
