@@ -44,3 +44,11 @@ def soft_update(target_params, params, tau: float):
 
 def mse(a, b):
     return jnp.mean((a - b) ** 2)
+
+
+def pmean_if(tree, axis_name):
+    """pmean-reduce a gradient pytree when running inside shard_map/pmap
+    over ``axis_name`` (None = single-device no-op)."""
+    if axis_name is None:
+        return tree
+    return jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), tree)

@@ -19,7 +19,7 @@ from flax import struct
 from ..utils.config import Config
 from ..models import mlp
 from . import regularizers
-from .common import make_optimizer, mse, soft_update
+from .common import make_optimizer, mse, pmean_if, soft_update
 from .replay import Batch
 from .td3 import ModelDefs
 
@@ -103,12 +103,6 @@ def train_step(cfg: Config, agents: Sequence[SACAgent],
     return new_states, metrics
 
 
-def _pmean(tree, axis_name):
-    if axis_name is None:
-        return tree
-    return jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), tree)
-
-
 def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                key: jax.Array, axis_name: str = None):
     agent = agents[i]
@@ -154,7 +148,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         return loss
 
     closs, cgrad = jax.value_and_grad(critic_loss_fn)(state.critic)
-    cgrad = _pmean(cgrad, axis_name)
+    cgrad = pmean_if(cgrad, axis_name)
     cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, state.critic)
     critic = optax.apply_updates(state.critic, cupd)
 
@@ -189,7 +183,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
 
     (aloss, logp), agrad = jax.value_and_grad(actor_loss_fn, has_aux=True)(
         state.actor)
-    agrad = _pmean(agrad, axis_name)
+    agrad = pmean_if(agrad, axis_name)
     aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt, state.actor)
     actor = optax.apply_updates(state.actor, aupd)
 

@@ -25,7 +25,7 @@ from flax import struct
 
 from ..utils.config import Config
 from . import regularizers
-from .common import make_optimizer, mse, soft_update
+from .common import make_optimizer, mse, pmean_if, soft_update
 from .replay import Batch
 
 
@@ -118,12 +118,6 @@ def train_step(cfg: Config, agents: Sequence[TD3Agent],
     return new_states, metrics
 
 
-def _pmean(tree, axis_name):
-    if axis_name is None:
-        return tree
-    return jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), tree)
-
-
 def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                key: jax.Array, axis_name: str = None):
     agent = agents[i]
@@ -179,7 +173,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         return loss
 
     closs, cgrad = jax.value_and_grad(critic_loss_fn)(state.critic)
-    cgrad = _pmean(cgrad, axis_name)
+    cgrad = pmean_if(cgrad, axis_name)
     cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, state.critic)
     critic = optax.apply_updates(state.critic, cupd)
 
@@ -214,7 +208,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
             return loss
 
         aloss, agrad = jax.value_and_grad(actor_loss_fn)(state.actor)
-        agrad = _pmean(agrad, axis_name)
+        agrad = pmean_if(agrad, axis_name)
         aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt,
                                            state.actor)
         actor = optax.apply_updates(state.actor, aupd)

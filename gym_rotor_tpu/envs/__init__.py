@@ -2,7 +2,8 @@ from . import batch, dynamics, oracle, params, quad, state, trajectory
 from .batch import (BatchedEnvState, BatchedStepOut, Transition,
                     batched_reset, batched_step, rollout)
 from .params import QuadParams, nominal, randomize
-from .quad import StepOut, initial_obs, reset, set_goal, step
+from .quad import (StepOut, initial_obs, reset, reset_state,
+                   set_goal, step)
 from .state import EnvState, Goal, pack_state, unpack_state
 from .trajectory import TrajState, get_desired, mark_traj_start
 
@@ -47,6 +48,6 @@ def params_from_oracle(op, dtype):
 __all__ = [
     "EnvState", "Goal", "QuadParams", "StepOut", "dynamics", "initial_obs",
     "nominal", "oracle", "pack_state", "params", "quad", "randomize",
-    "reset", "set_goal", "state", "state_from_oracle", "step",
+    "reset", "reset_state", "set_goal", "state", "state_from_oracle", "step",
     "unpack_state",
 ]

@@ -56,16 +56,15 @@ def batched_reset(cfg: Config, key: jax.Array, env_type: str = "train",
     traj_keys = jax.random.split(traj_keys, n)
 
     def one(ek, tk):
-        state, _ = quad.reset(cfg, ek, env_type, dtype)
+        state = quad.reset_state(cfg, ek, env_type, dtype)
         ts = TrajState.create(tk, dtype)
         ts = mark_traj_start(ts, state.x, state.R)
         ts, goal = get_desired(
             ts, state.x, state.v, state.R, state.W, cfg.train_traj_mode
         )
         state = state.replace(goal=goal)
-        # first obs after goal assignment (driver order main.py:126-129);
-        # quad.reset already did the pre-goal integral update the reference
-        # performs via its first get_norm_error_state call.
+        # exactly one first-obs integral update, after goal assignment
+        # (driver order main.py:126-129)
         state, obs = quad.initial_obs(cfg, state)
         return BatchedEnvState(env=state, traj=ts), obs
 
@@ -109,7 +108,7 @@ def batched_step(cfg: Config, bstate: BatchedEnvState, actions,
     # episodes (main.py:226-229).
     def fresh(s):
         k1, k2 = jax.random.split(s.key)
-        ns, _ = quad.reset(cfg, k1, env_type, dtype)
+        ns = quad.reset_state(cfg, k1, env_type, dtype)
         ts = TrajState.create(k2, dtype)
         ts = mark_traj_start(ts, ns.x, ns.R)
         ts, goal = get_desired(ts, ns.x, ns.v, ns.R, ns.W, cfg.train_traj_mode)

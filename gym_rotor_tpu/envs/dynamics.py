@@ -35,13 +35,8 @@ from ..ops import so3
 from .params import G_STD, QuadParams
 
 
-def mm3(A, B):
-    """3x3 matmul with fixed left-to-right summation order:
-    C[i,j] = (A[i,0]B[0,j] + A[i,1]B[1,j]) + A[i,2]B[2,j]."""
-    return (
-        A[..., :, 0:1] * B[..., 0:1, :]
-        + A[..., :, 1:2] * B[..., 1:2, :]
-    ) + A[..., :, 2:3] * B[..., 2:3, :]
+# Single source of truth for the fixed-order 3x3 matmul lives in ops.so3.
+mm3 = so3.mm3
 
 
 def mv3(A, b):

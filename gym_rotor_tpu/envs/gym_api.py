@@ -48,11 +48,11 @@ class QuadEnv(_BASE):
     def __init__(self, cfg: Optional[Config] = None, render_mode=None,
                  max_episode_steps: int = 10000, dtype=jnp.float64):
         if cfg is None:
-            # reference defaults: wrappers integrate with DOP853
-            # (coupled:62-64); the base env's Euler branch is the parity
-            # configuration (quad.py:252-262)
-            cfg = Config(framework="MONO").replace(
-                integrator="euler" if self.task == "quad" else "dop853")
+            # reference default is the adaptive DOP853 solver for the base
+            # env and the wrappers alike (quad.py:62, coupled:62-64); pass a
+            # Config with integrator='euler' for the parity configuration
+            # (quad.py:252-262)
+            cfg = Config(framework="MONO", integrator="dop853")
         self.cfg = cfg.replace(exact_so3=True)
         self.dtype = dtype
         self.max_episode_steps = max_episode_steps

@@ -407,16 +407,13 @@ def _init_ranges(cfg: Config, env_type: str, key):
     return init_x, init_v, init_R, init_W, key
 
 
-def reset(cfg: Config, key: jax.Array, env_type: str = "train",
-          dtype=jnp.float32) -> Tuple[EnvState, StepOut]:
+def reset_state(cfg: Config, key: jax.Array, env_type: str = "train",
+                dtype=jnp.float32) -> EnvState:
     """Episode initialization (quad.py:171-222 + wrapper resets
-    coupled:27-41 / decoupled:28-46).
-
-    Returns the fresh state *and* the first observation — the reference
-    driver always calls get_norm_error_state immediately after reset
-    (main.py:126-129), which performs one integral update; that update is
-    folded in here so training loops see identical integral dynamics.
-    """
+    coupled:27-41 / decoupled:28-46): fresh state only, no observation and
+    no integral update.  Callers assign the trajectory goal and then call
+    ``initial_obs`` exactly once, replicating the reference driver order
+    reset -> set_goal_state -> get_norm_error_state (main.py:126-129)."""
     k_param, k_branch, k_x, k_next = jax.random.split(key, 4)
 
     if cfg.use_UDM and env_type == "train":
@@ -453,7 +450,15 @@ def reset(cfg: Config, key: jax.Array, env_type: str = "train",
         t=jnp.zeros((), jnp.int32),
         key=k_next,
     )
-    return initial_obs(cfg, state)
+    return state
+
+
+def reset(cfg: Config, key: jax.Array, env_type: str = "train",
+          dtype=jnp.float32) -> Tuple[EnvState, StepOut]:
+    """Convenience single-env reset: state + first observation against the
+    default goal (one integral update, like a driver that never calls
+    set_goal_state)."""
+    return initial_obs(cfg, reset_state(cfg, key, env_type, dtype))
 
 
 def initial_obs(cfg: Config, state: EnvState):

@@ -159,7 +159,6 @@ def _mode_hover(ts: TrajState, x, v, R) -> TrajState:
     w_new = jax.random.uniform(k2, ts.t.shape, dtype,
                                -0.15 * jnp.pi, 0.15 * jnp.pi)
     st = ts.started
-    cur = _set_to_current(ts, x, v, R)
     x_init = jnp.where(st[..., None], ts.x_init, x)
     x_goal = jnp.zeros_like(x)
     t_traj = jnp.where(st, ts.t_traj, t_traj_new)
@@ -390,10 +389,10 @@ def get_desired(ts: TrajState, x, v, R, W, mode) -> Tuple[TrajState, Goal]:
     if isinstance(mode, int):
         branch = min(max(mode, 0), len(_MODES) - 1)
         ts = ts.replace(mode=jnp.full_like(ts.mode, mode))
-        auto = _MODES[branch](ts, x, v, R)
         if mode >= 2:
-            man = _mode_manual(ts, x, v, R)
             use_man = ts.manual_mode
+            auto = _MODES[branch](ts, x, v, R)
+            man = _mode_manual(ts, x, v, R)
             ts = jax.tree.map(
                 lambda a, b: jnp.where(
                     use_man.reshape(
@@ -401,8 +400,8 @@ def get_desired(ts: TrajState, x, v, R, W, mode) -> Tuple[TrajState, Goal]:
                     b, a),
                 auto, man,
             )
-        else:
-            ts = auto
+            return _with_wd(ts, R, W, freeze=use_man)
+        ts = _MODES[branch](ts, x, v, R)
         return _with_wd(ts, R, W)
 
     mode = jnp.asarray(mode, jnp.int32)
@@ -417,21 +416,24 @@ def get_desired(ts: TrajState, x, v, R, W, mode) -> Tuple[TrajState, Goal]:
     ts = ts.replace(mode=mode)
 
     branch = jnp.clip(mode, 0, len(_MODES) - 1)
+    use_man = ts.manual_mode
     auto = jax.lax.switch(branch, _MODES, ts, x, v, R)
     man = _mode_manual(ts, x, v, R)
-    use_man = ts.manual_mode
     ts = jax.tree.map(
         lambda a, b: jnp.where(
             use_man.reshape(use_man.shape + (1,) * (a.ndim - use_man.ndim)),
             b, a),
         auto, man,
     )
-    return _with_wd(ts, R, W)
+    return _with_wd(ts, R, W, freeze=use_man)
 
 
-def _with_wd(ts: TrajState, R, W) -> Tuple[TrajState, Goal]:
-
-    # Wd from b1c kinematics (trajectory_generator.py:164-172)
+def _with_wd(ts: TrajState, R, W, freeze=None) -> Tuple[TrajState, Goal]:
+    # Wd from b1c kinematics (trajectory_generator.py:164-172).  When the
+    # machine was already in manual mode at entry, the reference's
+    # calculate_desired early-returns BEFORE this block
+    # (trajectory_generator.py:136-139), freezing Wd at its last value —
+    # mirrored here via the ``freeze`` mask.
     b3 = R[..., :, 2]
     b3_dot = mm3(R, so3.hat(W))[..., :, 2]
     b1d, b1d_dot = ts.b1d, ts.b1d_dot
@@ -444,6 +446,8 @@ def _with_wd(ts: TrajState, R, W) -> Tuple[TrajState, Goal]:
     omega_c = so3.cross(b1c, b1c_dot)
     omega_c3 = dot3(b3, omega_c)
     Wd = jnp.zeros_like(ts.Wd).at[..., 2].set(omega_c3)
+    if freeze is not None:
+        Wd = jnp.where(freeze[..., None], ts.Wd, Wd)
     ts = ts.replace(Wd=Wd)
     goal = Goal(xd=ts.xd, vd=ts.vd, b1d=ts.b1d, b1d_dot=ts.b1d_dot, Wd=Wd)
     return ts, goal

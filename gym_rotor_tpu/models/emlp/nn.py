@@ -304,6 +304,11 @@ def spectral_weights(params) -> Tuple[List, List]:
             return
         for k in sorted(tree.keys()):
             v = tree[k]
+            if k == "log_std_linear":
+                # plain Dense head outside the equivariant network — the
+                # reference regularizes only self.network
+                # (sac_emlp.py:63, spectral_norm_regularization.py:39-45)
+                continue
             if k == "kernel":
                 ws.append(v)
             elif k == "bi_params":

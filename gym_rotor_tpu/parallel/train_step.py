@@ -86,7 +86,11 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
 
         keys = jax.random.split(k_upd, n_updates)
         states, metrics = jax.lax.scan(upd, states, keys)
-        metrics = jax.tree.map(lambda m: m[-1], metrics)
+        # losses are computed on each device's local sub-batch: reduce so
+        # the reported metrics are the global means (and truly replicated,
+        # matching the P() out_spec)
+        metrics = jax.tree.map(
+            lambda m: jax.lax.pmean(m[-1], axis), metrics)
         mean_reward = jax.lax.pmean(trs.reward.mean(), axis)
         metrics["mean_reward"] = mean_reward
         return bstate, obs, rstate, states, metrics

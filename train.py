@@ -29,6 +29,7 @@ from gym_rotor_tpu.algos import replay as replay_lib
 from gym_rotor_tpu.algos import sac as sac_lib
 from gym_rotor_tpu.algos import td3 as td3_lib
 from gym_rotor_tpu.envs import batch as batch_lib
+from gym_rotor_tpu.envs.quad import DT
 from gym_rotor_tpu.models import ppo_models, sac_models, td3_models
 from gym_rotor_tpu.utils import checkpoint as ckpt
 from gym_rotor_tpu.utils import logging as logs
@@ -166,7 +167,7 @@ class Learner:
 
         # ---- batched eval rollout (reference eval_policy, main.py:270-404)
         eval_cfg = cfg.replace(num_envs=cfg.num_eval)
-        eval_steps = int(round(cfg.eval_max_steps / 0.005))
+        eval_steps = int(round(cfg.eval_max_steps / DT))
 
         def eval_rollout(states, key):
             bs, obs = batch_lib.batched_reset(eval_cfg, key, "eval")
@@ -280,8 +281,8 @@ class Learner:
         cfg = self.cfg
         tl = logs.TextLogs(self.results_dir, cfg.seed)
         thr = logs.Throughput()
-        max_total_reward = [0.85 * cfg.eval_max_steps / 0.005] * cfg.n_agents
-        eval_steps = int(round(cfg.eval_max_steps / 0.005))
+        max_total_reward = [0.85 * cfg.eval_max_steps / DT] * cfg.n_agents
+        eval_steps = int(round(cfg.eval_max_steps / DT))
 
         n_updates = max(int(round(cfg.updates_per_step)), 1)
         n_updates = min(
