@@ -134,3 +134,46 @@ def test_renderer_offscreen(tmp_path):
     p = r.save(str(tmp_path / "frame.png"))
     assert os.path.exists(p)
     r.close()
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference checkout not available")
+def test_decoupled_wrapper_parity_vs_reference(monkeypatch):
+    """MODUL two-agent wrapper vs the actual reference (virtual moments +
+    adaptive DOP853) over a full trajectory."""
+    monkeypatch.syspath_prepend(REF_PATH)
+    monkeypatch.setattr(sys, "argv", ["main.py", "--framework", "MODUL"])
+    for m in list(sys.modules):
+        if m.startswith(("gym_rotor.", "args_parse")) or m == "gym_rotor":
+            sys.modules.pop(m)
+    import importlib
+
+    ref_mod = importlib.import_module(
+        "gym_rotor.wrappers.decoupled_yaw_wrapper")
+    ref_env = ref_mod.DecoupledWrapper()
+
+    ours = make("Decoupled-v0")
+
+    set_seed(ref_env, 1992)
+    ref_env.reset(env_type="eval", seed=1992)
+    set_seed(ours, 1992)
+    ours.reset("eval")
+    np.testing.assert_allclose(ours.state, ref_env.state, atol=1e-12)
+
+    rng = np.random.default_rng(11)
+    for i in range(100):
+        a = rng.uniform(-0.15, 0.15, 5)
+        ref_obs, ref_rwd, ref_done, _, _ = ref_env.step(a.copy())
+        our_obs, our_rwd, our_done, _, _ = ours.step(a.copy())
+        np.testing.assert_allclose(
+            ours.state, ref_env.state, rtol=0, atol=1e-6,
+            err_msg=f"state diverged at step {i}")
+        np.testing.assert_allclose(our_obs[0], ref_obs[0], atol=1e-5)
+        np.testing.assert_allclose(our_obs[1], ref_obs[1], atol=1e-5)
+        np.testing.assert_allclose(our_rwd, ref_rwd, atol=1e-4)
+        assert bool(our_done[0]) == bool(ref_done[0])
+        assert bool(our_done[1]) == bool(ref_done[1])
+        if any(ref_done):
+            break
+    for m in list(sys.modules):
+        if m.startswith(("gym_rotor.", "args_parse")) or m == "gym_rotor":
+            sys.modules.pop(m)
