@@ -82,3 +82,45 @@ def test_rollout_scan_transitions():
     assert ((r >= -1.0) & (r <= 1.0)).all()
     # first-step obs in the transitions equal the reset obs
     np.testing.assert_array_equal(np.asarray(trs.obs[0][0]), np.asarray(obs[0]))
+
+
+def test_end_to_end_training_determinism():
+    """Same seed => bit-identical learner params after rollout+updates
+    (fixed-seed reproducibility, the property the reference gets from
+    global seeding, utils/utils.py:8-18)."""
+    import numpy as np
+    from gym_rotor_tpu.algos import replay as replay_lib
+    from gym_rotor_tpu.algos import td3 as td3_lib
+    from gym_rotor_tpu.models import td3_models
+
+    cfg = Config(framework="MONO", use_equiv=False, num_envs=8,
+                 replay_buffer_size=256, batch_size=16, max_steps=32)
+
+    def run():
+        agents = [td3_lib.TD3Agent(cfg, 0, td3_models(cfg, 0))]
+        states = [agents[0].init(jax.random.PRNGKey(0))]
+        rs = replay_lib.create(cfg.replay_buffer_size, cfg.obs_dim_n,
+                               cfg.action_dim_n)
+        bs, obs = batch.batched_reset(cfg, jax.random.PRNGKey(1))
+
+        def policy(ps, ob, k):
+            return agents[0].choose_action(ps[0], ob[0], 0.2, k)
+
+        @jax.jit
+        def superstep(bs, obs, rs, states, key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            bs, obs, trs, _ = batch.rollout(cfg, bs, obs, k1, policy,
+                                            states, 8)
+            rs = replay_lib.insert_rollout(rs, trs)
+            b = replay_lib.sample(rs, k2, cfg.batch_size)
+            states, _ = td3_lib.train_step(cfg, agents, states, b, k3)
+            return bs, obs, rs, states
+
+        for it in range(3):
+            bs, obs, rs, states = superstep(bs, obs, rs, states,
+                                            jax.random.PRNGKey(10 + it))
+        return states
+
+    s1, s2 = run(), run()
+    for a, b in zip(jax.tree.leaves(s1[0]), jax.tree.leaves(s2[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
