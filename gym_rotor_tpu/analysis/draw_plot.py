@@ -164,6 +164,24 @@ def plot_all(log: FlightLog, out_dir: str = ".", show: bool = False):
     fig3("fig4_angular_velocity",
          ["W1 [rad/s]", "W2 [rad/s]", "W3 [rad/s]"], W, log.Wd)
 
+    # integral errors + heading error (reference's eIx_eIb1 figure)
+    fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    for i in range(3):
+        axes[0].plot(t, log.eIx[:, i], lw=1, label=f"eIx{i+1}")
+    axes[0].set_ylabel("eIx [m s]")
+    axes[0].legend(ncol=3)
+    axes[0].grid(alpha=0.3)
+    axes[1].plot(t, log.eb1, lw=1, label="eb1")
+    axes[1].plot(t, log.eIb1, lw=1, label="eIb1")
+    axes[1].set_ylabel("heading err")
+    axes[1].set_xlabel("t [s]")
+    axes[1].legend()
+    axes[1].grid(alpha=0.3)
+    p = os.path.join(out_dir, "fig6_eIx_eIb1.png")
+    fig.savefig(p, dpi=110)
+    paths.append(p)
+    plt.close(fig)
+
     if log.forces is not None:
         fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
         axes[0].plot(t, log.f_total, "k", lw=1, label="f_total")

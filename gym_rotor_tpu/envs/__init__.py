@@ -1,4 +1,4 @@
-from . import batch, dynamics, oracle, params, quad, state, trajectory
+from . import batch, dynamics, integrals, oracle, params, quad, state, trajectory
 from .batch import (BatchedEnvState, BatchedStepOut, Transition,
                     batched_reset, batched_step, rollout)
 from .params import QuadParams, nominal, randomize

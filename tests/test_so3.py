@@ -94,3 +94,29 @@ def test_inv3_matches_linalg():
     key = jax.random.PRNGKey(6)
     M = jax.random.normal(key, (8, 3, 3), jnp.float64) + 3 * jnp.eye(3)
     np.testing.assert_allclose(so3.inv3(M), jnp.linalg.inv(M), rtol=1e-9, atol=1e-10)
+
+
+def test_integral_helpers_match_reference_semantics():
+    """Functional IntegralState/DerivativeState vs a direct transcription of
+    the reference classes (quad_utils.py:38-77)."""
+    from gym_rotor_tpu.envs import integrals
+
+    rng = np.random.default_rng(0)
+    dt = 0.005
+    s = integrals.IntegralState.zero((3,), jnp.float64)
+    err_ref, int_ref = np.zeros(3), np.zeros(3)
+    for _ in range(50):
+        cur = rng.normal(size=3)
+        s = integrals.integrate(s, jnp.asarray(cur), dt)
+        err_ref = err_ref + (int_ref + cur) * dt / 2.0
+        int_ref = cur
+        np.testing.assert_allclose(np.asarray(s.error), err_ref, rtol=1e-12)
+
+    d = integrals.DerivativeState.zero((3,), jnp.float64)
+    prev = np.zeros(3)
+    for _ in range(10):
+        y = rng.normal(size=3)
+        d = integrals.derivative(d, jnp.asarray(y), dt)
+        np.testing.assert_allclose(np.asarray(d.y_dot), (y - prev) / dt,
+                                   rtol=1e-12)
+        prev = y
