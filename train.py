@@ -225,6 +225,27 @@ class Learner:
         self._eval = jax.jit(eval_rollout)
 
     # ------------------------------------------------------------------
+    def load_best_actors(self):
+        """Load saved actor weights for evaluation (--test_model): pick the
+        newest matching checkpoint per agent (the reference hardcodes step
+        counts at main.py:100-112; we take the latest save instead)."""
+        import glob
+
+        cfg = self.cfg
+        for i in range(cfg.n_agents):
+            pat = os.path.join(
+                self.model_dir,
+                f"{cfg.rl_algo}_{cfg.framework}_*agent_{i}*_{cfg.seed}"
+                ".msgpack")
+            cands = sorted(glob.glob(pat), key=os.path.getmtime)
+            if not cands:
+                raise FileNotFoundError(f"no actor checkpoint matches {pat}")
+            actor = ckpt.load_actor(cands[-1], self.states[i].actor)
+            self.states[i] = self.states[i].replace(actor=actor)
+            print(f"agent {i}: loaded {cands[-1]}")
+        return self
+
+    # ------------------------------------------------------------------
     # Full-train-state checkpointing (what the reference lacks: optimizer,
     # replay cursor, RNG and step counters travel with the params —
     # SURVEY.md §5 "checkpoint/resume").
@@ -485,6 +506,11 @@ def main(argv=None):
           f"integrator: {cfg.integrator}")
     print("-" * 100)
     learner = Learner(cfg)
+    if cfg.test_model:
+        # evaluation-only mode (reference main.py:100-112, 397)
+        learner.load_best_actors()
+        learner.eval_policy()
+        return learner
     if cfg.resume and os.path.exists(cfg.checkpoint_path):
         learner.load_checkpoint()
         print(f"resumed from {cfg.checkpoint_path} at "
