@@ -315,3 +315,28 @@ def test_sac_emlp_training_step():
     states, metrics = step(states, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["agent0/critic_loss"]))
     assert np.isfinite(float(metrics["agent0/actor_loss"]))
+
+
+def test_ppo_emlp_training_step():
+    """PPO with equivariant models: one jitted K-epoch update runs (MONO,
+    tiny horizon)."""
+    from gym_rotor_tpu.algos import ppo as ppo_lib
+
+    cfg = Config(framework="MONO", use_equiv=True, T_horizon=32, K_epochs=1,
+                 actor_batch_size=16, critic_batch_size=16)
+    agents = [ppo_lib.PPOAgent(cfg, 0, zoo.ppo_models(cfg, 0))]
+    states = [agents[0].init(jax.random.PRNGKey(0))]
+    T = cfg.T_horizon
+    rng = np.random.default_rng(5)
+    data = ppo_lib.Horizon(
+        obs=(jnp.asarray(rng.normal(size=(T, 23)), jnp.float32),),
+        act=(jnp.asarray(rng.uniform(-1, 1, (T, 4)), jnp.float32),),
+        rwd=(jnp.asarray(rng.uniform(0, 1, (T, 1)), jnp.float32),),
+        next_obs=(jnp.asarray(rng.normal(size=(T, 23)), jnp.float32),),
+        done=(jnp.zeros((T, 1), jnp.float32),),
+        logprob=(jnp.asarray(rng.normal(size=(T, 4)) * 0.1, jnp.float32),),
+    )
+    step = jax.jit(lambda st, d, k: ppo_lib.train_step(cfg, agents, st, d, k))
+    states, metrics = step(states, data, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["agent0/actor_loss"]))
+    assert np.isfinite(float(metrics["agent0/critic_loss"]))
