@@ -102,7 +102,8 @@ def gae(cfg: Config, values, next_values, rewards, dones):
     _, advs = jax.lax.scan(body, jnp.zeros_like(deltas[0]),
                            (deltas, dones), reverse=True)
     td_targets = advs + values
-    advs = (advs - advs.mean()) / (advs.std() + 1e-4)
+    # torch .std() applies Bessel's correction (ddof=1) — ppo.py:146
+    advs = (advs - advs.mean()) / (advs.std(ddof=1) + 1e-4)
     return advs, td_targets
 
 
