@@ -181,7 +181,7 @@ def test_ppo_gae_matches_reference_recursion():
         ref.append(delta + cfg.discount * (1 - done) * cfg.GAE_lambda * ref[-1])
     ref = np.array(ref[1:][::-1], dtype=np.float32)[:, None]
     ref_td = ref + v
-    ref_norm = (ref - ref.mean()) / (ref.std() + 1e-4)
+    ref_norm = (ref - ref.mean()) / (ref.std(ddof=1) + 1e-4)  # torch std semantics
     np.testing.assert_allclose(np.asarray(tds), ref_td, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(advs), ref_norm, rtol=1e-3,
                                atol=1e-4)
