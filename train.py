@@ -311,6 +311,10 @@ class Learner:
 
         ppo_horizon = []
         next_eval = cfg.eval_freq
+        if cfg.eval_freq < cfg.num_envs:
+            print(f"note: eval_freq ({cfg.eval_freq}) < num_envs "
+                  f"({cfg.num_envs}); evaluating once per tick — raise "
+                  f"--eval_freq for throughput")
         last_report = time.perf_counter()
         next_ckpt = (self.total_timesteps + cfg.checkpoint_freq
                      if cfg.checkpoint_freq else None)
@@ -393,7 +397,8 @@ class Learner:
                             self.model_dir, self.states[i].actor,
                             cfg.rl_algo, cfg.framework, self.total_timesteps,
                             i, cfg.seed, solved=True)
-                next_eval += cfg.eval_freq
+                while next_eval <= self.total_timesteps:
+                    next_eval += cfg.eval_freq
 
             if next_ckpt is not None and self.total_timesteps >= next_ckpt:
                 self.save_checkpoint()
@@ -466,7 +471,8 @@ class Learner:
             if self.total_timesteps >= next_eval:
                 rewards, bench, success = self.eval_policy()
                 tl.log_eval(self.total_timesteps, bench, list(rewards))
-                next_eval += cfg.eval_freq
+                while next_eval <= self.total_timesteps:
+                    next_eval += cfg.eval_freq
             if time.perf_counter() - last_report > 10.0:
                 es, us = thr.rates()
                 print(f"t={self.total_timesteps}  env-steps/s={es:,.0f}  "
