@@ -22,7 +22,7 @@ from flax import struct
 from ..utils.config import Config
 from ..models import mlp
 from . import regularizers
-from .common import make_optimizer, soft_update
+from .common import make_optimizer, pmean_if, soft_update
 from .td3 import ModelDefs
 
 
@@ -90,8 +90,12 @@ class PPOAgent:
         return a, logp
 
 
-def gae(cfg: Config, values, next_values, rewards, dones):
-    """Generalized Advantage Estimation (ppo.py:124-146) via reverse scan."""
+def gae(cfg: Config, values, next_values, rewards, dones, axis_name=None):
+    """Generalized Advantage Estimation (ppo.py:124-146) via reverse scan.
+
+    With ``axis_name`` set (env-sharded horizon inside shard_map) the
+    normalization statistics are computed over the *global* horizon via
+    psum/pmean so every device normalizes identically."""
     deltas = rewards + cfg.discount * next_values * (1.0 - dones) - values
 
     def body(carry, xs):
@@ -103,23 +107,37 @@ def gae(cfg: Config, values, next_values, rewards, dones):
                            (deltas, dones), reverse=True)
     td_targets = advs + values
     # torch .std() applies Bessel's correction (ddof=1) — ppo.py:146
-    advs = (advs - advs.mean()) / (advs.std(ddof=1) + 1e-4)
+    m = advs.mean()
+    n_tot = advs.size
+    if axis_name is not None:
+        m = jax.lax.pmean(m, axis_name)
+        n_tot = n_tot * jax.lax.psum(1, axis_name)
+    var = jnp.mean((advs - m) ** 2)
+    if axis_name is not None:
+        var = jax.lax.pmean(var, axis_name)
+    std = jnp.sqrt(var * n_tot / max(n_tot - 1, 1))
+    advs = (advs - m) / (std + 1e-4)
     return advs, td_targets
 
 
 def train_step(cfg: Config, agents: Sequence[PPOAgent],
-               states: List[PPOState], data: Horizon, key: jax.Array):
+               states: List[PPOState], data: Horizon, key: jax.Array,
+               axis_name: str = None):
+    """One full PPO update per agent.  ``axis_name``: when the horizon is
+    env-sharded inside shard_map, minibatch gradients are pmean-reduced over
+    the mesh axis so replicated params stay bit-identical."""
     new_states = list(states)
     metrics = {}
     for i in range(len(agents)):
         key, sub = jax.random.split(key)
-        new_states[i], m = _train_one(cfg, agents, new_states, i, data, sub)
+        new_states[i], m = _train_one(cfg, agents, new_states, i, data, sub,
+                                      axis_name)
         metrics.update({f"agent{i}/{k}": v for k, v in m.items()})
     return new_states, metrics
 
 
 def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
-               key: jax.Array):
+               key: jax.Array, axis_name: str = None):
     agent = agents[i]
     state = states[i]
 
@@ -134,7 +152,7 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
     # GAE scans over the time axis; with batched envs ((T, B, ...) arrays)
     # the scan carry is (B, 1) so every env's advantage chain is independent.
     advs, td_targets = gae(cfg, values, next_values, data.rwd[i],
-                           data.done[i])
+                           data.done[i], axis_name)
     advs = jax.lax.stop_gradient(advs)
     td_targets = jax.lax.stop_gradient(td_targets)
 
@@ -191,6 +209,7 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
                 return loss
 
             al, ag = jax.value_and_grad(loss_fn)(actor)
+            ag = pmean_if(ag, axis_name)
             au, aopt = agent.actor_tx.update(ag, aopt, actor)
             actor = optax.apply_updates(actor, au)
             return (actor, aopt), al
@@ -217,6 +236,7 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
                 return loss
 
             cl, cg = jax.value_and_grad(loss_fn)(critic)
+            cg = pmean_if(cg, axis_name)
             cu, copt = agent.critic_tx.update(cg, copt, critic)
             critic = optax.apply_updates(critic, cu)
             return (critic, copt), cl

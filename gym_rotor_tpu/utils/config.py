@@ -111,14 +111,15 @@ class Config:
     train_traj_mode: int = 0          # trajectory mode during training
     updates_per_step: float = 1.0     # learner updates per env-batch step
     mesh_axis: str = "env"            # name of the data-parallel mesh axis
+    rollout_len: int = 1              # env ticks fused per training superstep
+                                      # (1 = reference per-step cadence; 50+
+                                      # amortizes launch overhead at scale)
     checkpoint_freq: int = 0          # full-train-state ckpt every N steps
                                       # (0 = actor-only saving like reference)
     checkpoint_path: str = "./models/train_state.msgpack"
     resume: bool = False              # resume from checkpoint_path
     checkpoint_replay: bool = False   # include the replay ring in the ckpt
     profile_dir: str = ""             # capture a jax.profiler trace here
-    use_superstep: bool = False       # fuse rollout+replay+updates into one
-                                      # shard_map program even on 1 device
 
     # ------------------------------------------------------------------
     # Derived quantities (reference quad.py:71-88).

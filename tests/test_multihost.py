@@ -24,7 +24,8 @@ from jax.experimental import multihost_utils
 from gym_rotor_tpu.algos import td3 as td3_lib
 from gym_rotor_tpu.models import td3_models
 from gym_rotor_tpu.parallel import mesh as mesh_lib
-from gym_rotor_tpu.parallel.train_step import (make_sharded_td3_superstep,
+from gym_rotor_tpu.parallel.train_step import (init_ep_ret,
+                                               make_sharded_td3_superstep,
                                                sharded_init)
 from gym_rotor_tpu.utils.config import Config
 
@@ -38,11 +39,12 @@ agents = [td3_lib.TD3Agent(cfg, 0, td3_models(cfg, 0))]
 states = [agents[0].init(jax.random.PRNGKey(0))]
 states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
 bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(1))
+ep_ret = init_ep_ret(cfg, mesh)
 step = make_sharded_td3_superstep(cfg, agents, mesh, rollout_len=3,
                                   n_updates=1)
 for it in range(2):
-    bstate, obs, rstate, states, metrics = step(
-        bstate, obs, rstate, states, jax.random.PRNGKey(2 + it), 0.1)
+    bstate, obs, rstate, states, ep_ret, metrics = step(
+        bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(2 + it), 0.1)
 loss = float(metrics["agent0/critic_loss"])
 rew = float(metrics["mean_reward"])
 assert np.isfinite(loss) and np.isfinite(rew)

@@ -5,10 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from gym_rotor_tpu.algos import ppo as ppo_lib
 from gym_rotor_tpu.algos import td3 as td3_lib
-from gym_rotor_tpu.models import td3_models
+from gym_rotor_tpu.models import ppo_models, td3_models
 from gym_rotor_tpu.parallel import mesh as mesh_lib
-from gym_rotor_tpu.parallel.train_step import (make_sharded_td3_superstep,
+from gym_rotor_tpu.parallel.train_step import (init_ep_ret,
+                                               make_sharded_ppo_superstep,
+                                               make_sharded_td3_superstep,
                                                sharded_init)
 from gym_rotor_tpu.utils.config import Config
 
@@ -26,18 +29,72 @@ def test_sharded_td3_superstep_runs_and_syncs():
     states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
 
     bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(0))
+    ep_ret = init_ep_ret(cfg, mesh)
     assert bstate.env.x.sharding.spec == jax.sharding.PartitionSpec("env")
 
     step = make_sharded_td3_superstep(cfg, agents, mesh, rollout_len=4,
                                       n_updates=2)
     for it in range(3):
-        bstate, obs, rstate, states, metrics = step(
-            bstate, obs, rstate, states, jax.random.PRNGKey(10 + it), 0.1)
+        bstate, obs, rstate, states, ep_ret, metrics = step(
+            bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(10 + it),
+            0.1)
     assert np.isfinite(float(metrics["agent0/critic_loss"]))
     assert np.isfinite(float(metrics["mean_reward"]))
     # replay advanced: 3 supersteps * 4 ticks * (16/8 envs per device)
     assert int(rstate.filled) == 3 * 4 * 2
     # params stayed replicated and finite
+    w = jax.tree.leaves(states[0].actor)[0]
+    assert np.isfinite(np.asarray(w)).all()
+
+
+def test_sharded_warm_variant_skips_updates():
+    """warm=True must act with uniform-random actions and leave the learner
+    untouched (reference start_timesteps warmup, main.py:154-155)."""
+    cfg = Config(framework="MONO", use_equiv=False, num_envs=8,
+                 replay_buffer_size=256, batch_size=16, max_steps=32)
+    mesh = mesh_lib.make_mesh(8)
+    agents = [td3_lib.TD3Agent(cfg, 0, td3_models(cfg, 0))]
+    states = [agents[0].init(jax.random.PRNGKey(0))]
+    states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
+    bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(1))
+    ep_ret = init_ep_ret(cfg, mesh)
+    step = make_sharded_td3_superstep(cfg, agents, mesh, rollout_len=3,
+                                      n_updates=2)
+    before = jax.tree.map(np.asarray, states[0].actor)
+    bstate, obs, rstate, states, ep_ret, metrics = step(
+        bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(2), 0.1,
+        warm=True)
+    after = jax.tree.map(np.asarray, states[0].actor)
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+    assert int(states[0].total_it) == 0
+    assert "agent0/critic_loss" not in metrics       # warm metrics: episode stats only
+    assert int(rstate.filled) == 3 * 1               # replay still fills
+    assert np.isfinite(float(metrics["mean_reward"]))
+
+
+def test_sharded_ppo_superstep_runs():
+    """On-policy superstep: T_horizon rollout + GAE + K-epoch minibatches
+    with pmean'd gradients, all inside one shard_map program."""
+    cfg = Config(framework="MODUL", module_training="DTDE", rl_algo="PPO",
+                 use_equiv=False, num_envs=16, max_steps=64,
+                 T_horizon=64, K_epochs=2, actor_batch_size=16,
+                 critic_batch_size=16)
+    mesh = mesh_lib.make_mesh(8)
+    agents = [ppo_lib.PPOAgent(cfg, i, ppo_models(cfg, i)) for i in range(2)]
+    states = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(agents)]
+    states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
+    bstate, obs, _ = sharded_init(cfg, mesh, jax.random.PRNGKey(0),
+                                  with_replay=False)
+    ep_ret = init_ep_ret(cfg, mesh)
+    step = make_sharded_ppo_superstep(cfg, agents, mesh,
+                                      rollout_len=cfg.T_horizon // cfg.num_envs)
+    for it in range(2):
+        bstate, obs, states, ep_ret, metrics = step(
+            bstate, obs, states, ep_ret, jax.random.PRNGKey(5 + it))
+    assert np.isfinite(float(metrics["agent0/actor_loss"]))
+    assert np.isfinite(float(metrics["agent1/critic_loss"]))
+    assert int(states[0].total_it) == 2
+    # params finite and replicated
     w = jax.tree.leaves(states[0].actor)[0]
     assert np.isfinite(np.asarray(w)).all()
 
@@ -51,8 +108,9 @@ def test_sharded_matches_single_device_structure():
     agents = [td3_lib.TD3Agent(cfg, 0, td3_models(cfg, 0))]
     states = [agents[0].init(jax.random.PRNGKey(0))]
     bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(1))
+    ep_ret = init_ep_ret(cfg, mesh)
     step = make_sharded_td3_superstep(cfg, agents, mesh)
-    b2, o2, r2, s2, m = step(bstate, obs, rstate, states,
-                             jax.random.PRNGKey(2), 0.2)
+    b2, o2, r2, s2, ep2, m = step(bstate, obs, rstate, states, ep_ret,
+                                  jax.random.PRNGKey(2), 0.2)
     assert jax.tree.structure(s2[0]) == jax.tree.structure(states[0])
     assert int(s2[0].total_it) == 1
