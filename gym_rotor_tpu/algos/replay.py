@@ -111,10 +111,15 @@ class Batch(struct.PyTreeNode):
 
 def sample(rs: ReplayState, key: jax.Array, batch_size: int) -> Batch:
     """Uniform sample of shared indices across agents
-    (replay_buffer.py:41-56)."""
+    (replay_buffer.py:41-56).
+
+    Sampling an *empty* buffer is a driver bug (updates must be gated on
+    warmup/first insert); rather than silently returning row-0 zeros, the
+    batch is NaN-poisoned so the ensuing loss blows up loudly in-graph."""
     idx = jax.random.randint(key, (batch_size,), 0,
                              jnp.maximum(rs.filled, 1))
-    take = lambda bufs: tuple(b[idx] for b in bufs)
+    poison = jnp.where(rs.filled > 0, 1.0, jnp.nan)
+    take = lambda bufs: tuple(poison * b[idx] for b in bufs)
     return Batch(
         obs=take(rs.obs), act=take(rs.act), rwd=take(rs.rwd),
         next_obs=take(rs.next_obs), done=take(rs.done),

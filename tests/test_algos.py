@@ -61,6 +61,19 @@ def test_replay_sample_shared_indices():
                                   np.asarray(b.obs[1][:, 0]))
 
 
+def test_replay_sample_empty_buffer_is_poisoned():
+    """Sampling before any insert is a driver bug: the batch must be
+    NaN-poisoned (loud), not silently zero; after the first insert samples
+    are clean again."""
+    rs = replay.create(16, [3], [2])
+    b = replay.sample(rs, jax.random.PRNGKey(0), 4)
+    assert np.isnan(np.asarray(b.obs[0])).all()
+    rs = replay.insert(rs, [jnp.ones((2, 3))], [jnp.zeros((2, 2))],
+                       [jnp.zeros(2)], [jnp.ones((2, 3))], [jnp.zeros(2)])
+    b = replay.sample(rs, jax.random.PRNGKey(0), 4)
+    assert np.isfinite(np.asarray(b.obs[0])).all()
+
+
 # ---------------------------------------------------------------- schedule
 def test_cosine_warm_restarts_schedule():
     s = cosine_warm_restarts(3e-4, t0=1000, eta_min=1e-5)
