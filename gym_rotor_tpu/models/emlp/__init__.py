@@ -1,3 +1,3 @@
-from . import groups, nn, reps, zoo
+from . import diagnostics, groups, nn, reps, zoo
 
 __all__ = ["groups", "nn", "reps", "zoo"]

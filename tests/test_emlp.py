@@ -340,3 +340,63 @@ def test_ppo_emlp_training_step():
     states, metrics = step(states, data, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["agent0/actor_loss"]))
     assert np.isfinite(float(metrics["agent0/critic_loss"]))
+
+
+# ---------------------------------------------------------------- diagnostics
+def test_diagnostics_equivariance_error():
+    """User-facing equivariance_error (reps/utils.py:240-251): ~0 for a
+    projected matrix, large for a random one."""
+    from gym_rotor_tpu.models.emlp import diagnostics as diag
+
+    so2 = G.SO2eR3()
+    rep_in = R.SumRep([R.Atom(so2, 1)] * 3)
+    rep_out = R.SumRep([R.Atom(so2, 1)] * 2 + [R.Atom(so2, 0)])
+    rng = np.random.default_rng(3)
+    W = rng.standard_normal((rep_out.size, rep_in.size)).astype(np.float32)
+    project, r = diag.equivariant_projection(rep_in, rep_out)
+    W_eq = np.asarray(project(W.reshape(-1))).reshape(W.shape)
+    assert diag.equivariance_error(W_eq, rep_in, rep_out) < 1e-5
+    assert diag.equivariance_error(W, rep_in, rep_out) > 1e-2
+
+    # basis form (nout*nin, r) is accepted too
+    Q = diag.equivariant_basis(rep_in, rep_out)
+    assert Q.shape == (rep_out.size * rep_in.size, r)
+    np.testing.assert_allclose(Q.T @ Q, np.eye(r), atol=1e-5)
+    assert diag.equivariance_error(Q, rep_in, rep_out) < 1e-5
+
+
+def test_diagnostics_sparsify_and_vis(tmp_path):
+    from gym_rotor_tpu.models.emlp import diagnostics as diag
+
+    m = G.Mirror(1)
+    rep = R.SumRep([R.Atom(m, 1)] * 2 + [R.Atom(m, 0)] * 2)
+    Q = diag.equivariant_basis(rep, rep)
+    Qs = diag.sparsify_basis(Q, iters=600)
+    assert Qs.shape == Q.shape
+    # snapped to {-1, 0, 1}
+    assert np.all(np.isin(np.round(Qs, 6), [-1.0, 0.0, 1.0]))
+    # each sparsified column is still an equivariant map
+    assert diag.equivariance_error(Qs, rep, rep) < 1e-5
+
+    img = diag.vis(rep, rep, path=str(tmp_path / "basis.png"))
+    assert img.shape == (rep.size, rep.size)
+    assert (tmp_path / "basis.png").exists()
+
+
+def test_generic_mlp_and_standardize():
+    from gym_rotor_tpu.models.emlp import diagnostics as diag
+
+    so2 = G.SO2eR3()
+    rep_in = R.SumRep([R.Atom(so2, 1)] * 2)
+    rep_out = R.SumRep([R.Atom(so2, 1)])
+    m = diag.MLP(rep_in=rep_in, rep_out=rep_out, ch=32, num_layers=2)
+    x = jnp.ones((4, rep_in.size))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (4, rep_out.size)
+
+    wrapped = diag.standardize(m.apply, (1.0, 2.0, 0.5, 3.0))
+    y2 = wrapped(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y2),
+        3.0 * np.asarray(m.apply(params, (x - 1.0) / 2.0)) + 0.5, atol=1e-6)
