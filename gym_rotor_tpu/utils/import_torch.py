@@ -1,0 +1,253 @@
+"""Import the reference's trained torch actor checkpoints (.pth) as exact,
+jittable JAX policies.
+
+The reference ships trained EMLP actors
+(models/TD3_MODUL_564.0k_steps_agent_0_1992.pth etc.) loaded via
+algos/td3/td3.py:224-238 into models whose bilinear layers sample their
+input-mixing indices from torch's *global* RNG at construction time
+(algos/emlp_torch/reps/representation.py:376-378) — the indices are not in
+the .pth, so a parameter-level mapping onto any other parameterization
+(including ours) cannot reproduce the deployed function.  The reference's own
+deployment recipe is: seed torch (utils/utils.py:8-17 via main.py:65),
+construct the agents in Learner order (main.py:87-89), then load_state_dict
+(main.py:100-112).  We replicate exactly that — driving the reference's own
+model code — then extract each layer's *effective* operators as dense
+tensors:
+
+* equivariant Linear (nn.py:13-36): W_eff = proj_w(weight),
+  b_eff = proj_b(bias) — the projection is applied per forward, so these
+  dense results ARE the deployed computation;
+* BiLinear (nn.py:39-55): W(x) is linear in x, so
+  out = 0.1 * (W(x) @ x) is a quadratic form; probing W with basis vectors
+  yields the exact 3-tensor L with W(x) = sum_j x_j L[j];
+* gate indices (nn.py:69-82, 262-280): read from each block's
+  GatedNonlinearity rep.
+
+The result is a pytree of dense arrays + a pure JAX forward (tanh head,
+td3_emlp.py:62) that can run inside the jitted batched eval rollout —
+enabling the strongest cross-validation available: the reference's own
+trained policy flying in our environment, reproducing its logged benchmark.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------------
+# JAX side: the extracted forward
+# ----------------------------------------------------------------------
+def emlp_actor_apply(params: Dict, x):
+    """Pure JAX forward of an extracted reference EMLP actor.
+
+    Mirrors torch.nn.Sequential(EMLPBlock..., Linear) + tanh
+    (td3_emlp.py:47-62): per block, lin = x W^T + b; preact =
+    0.1 * x^T L x + lin; out = sigmoid(preact[gate_idx]) * preact[:size].
+    """
+    for blk in params["blocks"]:
+        lin = x @ blk["W"].T + blk["b"]
+        # quadratic form: W(lin) @ lin with W(z) = sum_j z_j L[j]
+        Wx = jnp.einsum("bj,joi->boi", lin, blk["L"])
+        quad = 0.1 * jnp.einsum("boi,bi->bo", Wx, lin)
+        pre = quad + lin
+        gates = pre[..., blk["gate_idx"]]
+        x = _sigmoid(gates) * pre[..., : blk["out_size"]]
+    head = params["head"]
+    return jnp.tanh(x @ head["W"].T + head["b"])
+
+
+def _sigmoid(v):
+    return 1.0 / (1.0 + jnp.exp(-v))
+
+
+# ----------------------------------------------------------------------
+# Torch side: construction replay + probe extraction
+# ----------------------------------------------------------------------
+def _install_plum_stub():
+    """The reference's emlp_torch imports ``plum.dispatch``
+    (representation.py:7), which is not in this image.  Its only dispatched
+    function is ``mul_reps`` (4 overloads at representation.py:196-575), so a
+    minimal specificity-ordered multiple dispatcher is sufficient: most
+    annotated/most-derived matching signature wins, ties broken by
+    registration order."""
+    import types
+
+    if "plum" in sys.modules:
+        return
+    try:
+        import plum  # noqa: F401  (real package, if ever present)
+        return
+    except ImportError:
+        pass
+
+    class _Dispatcher:
+        def __init__(self):
+            self._methods = {}
+
+        def _register(self, name, sig, fn):
+            self._methods.setdefault(name, []).append((sig, fn))
+
+        def _make_resolver(self, name):
+            methods = self._methods
+
+            def resolver(*args, **kw):
+                best, best_score = None, -1
+                for order, (sig, fn) in enumerate(methods[name]):
+                    if len(sig) != len(args):
+                        continue
+                    score = 0
+                    ok = True
+                    for a, ann in zip(args, sig):
+                        if ann is None:
+                            continue
+                        if isinstance(a, ann):
+                            score += len(type(a).__mro__) + len(ann.__mro__)
+                        else:
+                            ok = False
+                            break
+                    # earlier registration wins ties
+                    if ok and score - order * 1e-6 > best_score:
+                        best, best_score = fn, score - order * 1e-6
+                if best is None:
+                    raise TypeError(
+                        f"no {name} method for {[type(a) for a in args]}")
+                return best(*args, **kw)
+
+            resolver.__name__ = name
+            return resolver
+
+        def __call__(self, fn):
+            import inspect
+
+            hints = []
+            for p in inspect.signature(fn).parameters.values():
+                ann = p.annotation
+                hints.append(None if ann is inspect.Parameter.empty else ann)
+            self._register(fn.__name__, tuple(hints), fn)
+            return self._make_resolver(fn.__name__)
+
+        def multi(self, *sigs):
+            def deco(fn):
+                for sig in sigs:
+                    self._register(fn.__name__, tuple(sig), fn)
+                return self._make_resolver(fn.__name__)
+
+            return deco
+
+    mod = types.ModuleType("plum")
+    mod.dispatch = _Dispatcher()
+    sys.modules["plum"] = mod
+
+
+
+def _extract_network(network) -> Dict:
+    """Probe a reference torch Sequential(EMLPBlock..., Linear) into dense
+    JAX-ready arrays."""
+    import torch
+
+    from algos.emlp_torch.nn import gate_indices  # noqa: reference module
+
+    mods = list(network)
+    blocks = []
+    with torch.no_grad():
+        for m in mods[:-1]:
+            W = m.linear.proj_w(m.linear.weight).cpu().numpy()
+            b = m.linear.proj_b(m.linear.bias).cpu().numpy()
+            g = W.shape[0]  # gated size
+            eye = torch.eye(g)
+            # lazy_projection broadcasts over the batch axis -> (g, g, g),
+            # L[j] = W(e_j) (representation.py:379-399)
+            L = m.bilinear.weight_proj(m.bilinear.bi_params, eye).cpu().numpy()
+            gidx = np.asarray(gate_indices(m.nonlinearity.rep))
+            blocks.append({
+                "W": jnp.asarray(W), "b": jnp.asarray(b),
+                "L": jnp.asarray(L),
+                "gate_idx": np.asarray(gidx),
+                "out_size": int(m.nonlinearity.rep.size()),
+            })
+        head = mods[-1]
+        Wh = head.proj_w(head.weight).cpu().numpy()
+        bh = head.proj_b(head.bias).cpu().numpy()
+    return {"blocks": blocks, "head": {"W": jnp.asarray(Wh),
+                                       "b": jnp.asarray(bh)}}
+
+
+def load_reference_td3_actors(ref_path: str, framework: str,
+                              checkpoints: List[Tuple[str, int]],
+                              seed: int = 1992):
+    """Replicate the reference's deployment path and extract its trained
+    actors.
+
+    ``checkpoints``: [(pth_path, agent_id), ...] to load before extraction.
+    Returns [params, ...] per agent for :func:`emlp_actor_apply`.
+
+    Replays main.py:37-112: env wrapper -> set_seed -> TrajectoryGenerator ->
+    [TD3(args, i) for i in range(N)] — the same torch-RNG consumption order
+    as the training run, so the bilinear sampling indices match the ones the
+    checkpoints were trained with.
+    """
+    if ref_path not in sys.path:
+        sys.path.insert(0, ref_path)
+    argv, sys.argv = sys.argv, ["main.py", "--framework", framework]
+    cwd = os.getcwd()
+    try:
+        for mod in list(sys.modules):
+            # "plum" too: the stub's dispatch registry must not accumulate
+            # overloads referencing classes from a previous reference import
+            if mod.startswith(("gym_rotor.", "args_parse", "algos", "utils",
+                               "plum")) or mod == "gym_rotor":
+                sys.modules.pop(mod)
+        os.chdir(ref_path)  # reference modules re-parse args + use rel paths
+        _install_plum_stub()
+        import torch
+
+        import args_parse
+        from algos.td3.td3 import TD3
+        from gym_rotor.wrappers.coupled_yaw_wrapper import CoupledWrapper
+        from gym_rotor.wrappers.decoupled_yaw_wrapper import DecoupledWrapper
+        from utils.trajectory_generator import TrajectoryGenerator
+        from utils.utils import set_seed
+
+        args = args_parse.create_parser().parse_args([])
+        args.seed = seed
+        args.framework = framework
+        args.device = torch.device("cpu")
+        if framework == "MODUL":
+            env = DecoupledWrapper()
+            args.N, args.obs_dim_n, args.action_dim_n = 2, [15, 3], [4, 1]
+        else:
+            env = CoupledWrapper()
+            args.N, args.obs_dim_n, args.action_dim_n = 1, [23], [4]
+        set_seed(env, seed)                    # main.py:65
+        TrajectoryGenerator(env)               # main.py:78 (RNG order)
+        agents = [TD3(args, i) for i in range(args.N)]  # main.py:88
+
+        for path, agent_id in checkpoints:
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            agents[agent_id].actor.load_state_dict(sd)
+        out = []
+        for a in agents:
+            a.actor.eval()
+            out.append(_extract_network(a.actor.network))
+        return out, agents
+    finally:
+        sys.argv = argv
+        os.chdir(cwd)
+
+
+def reference_actor_policy(params_n: List[Dict]):
+    """Joint eval policy over per-agent extracted params, closing over them
+    (gate indices / sizes are static structure, so the params ride into the
+    jitted eval as constants).  Signature-compatible with
+    train.build_eval_rollout's act_eval(states, obs_tuple); pass anything
+    (e.g. ``None``) as states."""
+    def act_eval(states, obs):
+        del states
+        outs = [emlp_actor_apply(p, o) for p, o in zip(params_n, obs)]
+        return jnp.concatenate(outs, axis=-1)
+
+    return act_eval
