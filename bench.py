@@ -8,6 +8,7 @@ policy).  vs_baseline is measured against BASELINE.md's 10M env-steps/s
 target (the reference itself is a single-env CPU loop at ~1e3-1e4 steps/s and
 publishes no throughput numbers — see BASELINE.md).
 """
+import argparse
 import json
 import time
 
@@ -20,8 +21,12 @@ from gym_rotor_tpu.utils.config import Config
 TARGET = 1e7  # env-steps/s north star (BASELINE.json)
 
 
-def main():
-    cfg = Config(framework="MONO", integrator="rk4", num_envs=4096,
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_envs", type=int, default=4096,
+                    help="lockstep env batch (4096 = the BASELINE point)")
+    args = ap.parse_args(argv)
+    cfg = Config(framework="MONO", integrator="rk4", num_envs=args.num_envs,
                  max_steps=4000)
     key = jax.random.PRNGKey(0)
     bs, obs = jax.jit(
@@ -63,6 +68,7 @@ def main():
         "value": rate,
         "unit": "steps/s",
         "vs_baseline": rate / TARGET,
+        "num_envs": cfg.num_envs,
     }))
 
 

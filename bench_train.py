@@ -1,0 +1,117 @@
+"""End-to-end TRAINING throughput benchmark: the fused rollout + replay +
+learner superstep, trained-env-steps/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Unlike bench.py (env engine only), this measures the full flagship training
+path: TD3 over the MODUL framework with equivariant actors/critics (DTDE),
+one learner update (batch = num_envs) per env tick, fused into the shard_map
+superstep the unified driver runs (parallel/train_step.py).  vs_baseline is
+against BASELINE.md's 10M env-steps/s north star — here counted only while
+actually learning at a 1:1 update-per-tick cadence (the reference's own
+ratio: one batch-256 update per env step, main.py:184-187).
+
+Flags: --num_envs N --rollout_len L --mlp (MONO MLP variant) --updates U.
+"""
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gym_rotor_tpu.algos import td3 as td3_lib
+from gym_rotor_tpu.models import td3_models
+from gym_rotor_tpu.parallel import mesh as mesh_lib
+from gym_rotor_tpu.parallel.train_step import (init_ep_ret,
+                                               make_sharded_td3_superstep,
+                                               sharded_init)
+from gym_rotor_tpu.utils.config import Config
+
+TARGET = 1e7  # trained-env-steps/s north star (BASELINE.json)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_envs", type=int, default=4096)
+    p.add_argument("--rollout_len", type=int, default=50)
+    p.add_argument("--updates", type=int, default=0,
+                   help="learner updates per superstep (0 = rollout_len, "
+                        "i.e. one update per env tick)")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="update batch (0 = num_envs)")
+    p.add_argument("--mlp", action="store_true",
+                   help="bench MONO + plain MLP instead of MODUL + EMLP")
+    p.add_argument("--warm", action="store_true",
+                   help="measure the warm (rollout+replay only, no learner) "
+                        "variant — the breakdown baseline")
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler trace of the measured loop")
+    args = p.parse_args(argv)
+
+    n_updates = args.updates or args.rollout_len
+    batch = args.batch_size or args.num_envs
+    if args.mlp:
+        cfg = Config(framework="MONO", use_equiv=False,
+                     num_envs=args.num_envs, batch_size=batch,
+                     replay_buffer_size=1_000_000, max_steps=4000)
+    else:
+        cfg = Config(framework="MODUL", module_training="DTDE",
+                     use_equiv=True, num_envs=args.num_envs,
+                     batch_size=batch, replay_buffer_size=1_000_000,
+                     max_steps=4000)
+
+    mesh = mesh_lib.make_mesh()
+    agents = [td3_lib.TD3Agent(cfg, i, td3_models(cfg, i))
+              for i in range(cfg.n_agents)]
+    states = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(agents)]
+    states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
+    bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(0))
+    ep_ret = init_ep_ret(cfg, mesh)
+    step = make_sharded_td3_superstep(cfg, agents, mesh,
+                                      rollout_len=args.rollout_len,
+                                      n_updates=n_updates)
+
+    warm = args.warm
+    # warmup/compile
+    bstate, obs, rstate, states, ep_ret, metrics = step(
+        bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(1), 0.1,
+        warm=warm)
+    jax.block_until_ready(metrics["mean_reward"])
+
+    steps_per_call = cfg.num_envs * args.rollout_len
+    iters = max(2, int(2e7 // steps_per_call))
+    rate = 0.0
+    prof = None
+    for rep in range(3):  # best of three: sheds transient contention
+        if args.profile_dir and rep == 2 and prof is None:
+            jax.profiler.start_trace(args.profile_dir)
+            prof = True
+        t0 = time.perf_counter()
+        for i in range(iters):
+            bstate, obs, rstate, states, ep_ret, metrics = step(
+                bstate, obs, rstate, states, ep_ret,
+                jax.random.PRNGKey(2 + 10 * rep + i), 0.1, warm=warm)
+        jax.block_until_ready(metrics["mean_reward"])
+        dt = time.perf_counter() - t0
+        rate = max(rate, steps_per_call * iters / dt)
+    if prof:
+        jax.profiler.stop_trace()
+
+    print(json.dumps({
+        "metric": "trained_env_steps_per_sec",
+        "value": rate,
+        "unit": "steps/s",
+        "vs_baseline": rate / TARGET,
+        "num_envs": cfg.num_envs,
+        "rollout_len": args.rollout_len,
+        "updates_per_superstep": n_updates,
+        "update_batch": batch,
+        "model": "MONO-MLP" if args.mlp else "MODUL-EMLP-DTDE",
+        "updates_per_sec": 0.0 if warm else rate / steps_per_call * n_updates,
+        "warm_rollout_only": warm,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,9 +22,17 @@ from ..envs import params as params_lib
 def hover_action_scalar(p=None) -> float:
     """Normalized hover total-thrust action: interp(4*hover_force,
     [4*min, 4*max], [-1, 1]) (policy_regularization.py:31-34).  Uses nominal
-    parameters — the reference reads the env's current randomized values; at
+    parameters — the reference reads the env's *current* randomized values; at
     TPU batch scale the per-episode params differ per env, and the UDM
-    distribution is centered on nominal."""
+    distribution is centered on nominal.
+
+    Quantified divergence: under +-10% UDM on (m, c_tw) the per-env hover
+    scalar spans [-0.227, -0.035] around the nominal -0.140 (max dev 0.105),
+    so the magnitude target differs by <=0.105 in action units, scaled by
+    lam_M=0.1 inside one of three CAPS terms — third-order relative to the
+    actor loss.  Note the reference's own semantics are already approximate:
+    it applies the constants of the env at *update* time to a replay batch
+    drawn from episodes with different constants."""
     hover = params_lib.M_NOMINAL * params_lib.G_STD / 4.0
     lo = params_lib.MIN_FORCE
     hi = params_lib.C_TW_NOMINAL * hover
