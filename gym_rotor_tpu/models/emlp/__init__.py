@@ -1,3 +1,3 @@
-from . import diagnostics, groups, nn, reps, zoo
+from . import diagnostics, groups, nn, rep_algebra, reps, zoo
 
-__all__ = ["groups", "nn", "reps", "zoo"]
+__all__ = ["diagnostics", "groups", "nn", "rep_algebra", "reps", "zoo"]

@@ -17,12 +17,29 @@ from .nn import linear_projector
 from .reps import SumRep
 
 
-def _groups_of(rep: SumRep):
+def _groups_of(rep):
+    if not hasattr(rep, "atoms"):      # general rep_algebra.Rep
+        from .rep_algebra import groups_of
+        return groups_of(rep)
     seen = []
     for a in rep.atoms:
         if all(a.G != G for G in seen):
             seen.append(a.G)
     return seen
+
+
+def _size_of(rep) -> int:
+    """Scoped SumRep exposes ``size`` as a property; general rep_algebra
+    reps as a method."""
+    return rep.size if isinstance(rep.size, int) else rep.size()
+
+
+def _rho_of(rep, assign: Dict) -> np.ndarray:
+    """Dense rho under a {Group: element} assignment for either engine
+    (general reps resolve the dict internally via ``_as_matrix``)."""
+    if hasattr(rep, "rho_dense"):      # scoped reps.SumRep
+        return rep.rho_dense(assign)
+    return rep.rho(assign)
 
 
 def scale_adjusted_rel_error(t1: np.ndarray, t2: np.ndarray,
@@ -46,7 +63,7 @@ def equivariance_error(W: np.ndarray, rep_in: SumRep, rep_out: SumRep,
     and applied jointly via rho_dense.
     """
     rng = rng or np.random.default_rng(0)
-    nin, nout = rep_in.size, rep_out.size
+    nin, nout = _size_of(rep_in), _size_of(rep_out)
     W = np.asarray(W)
     if W.ndim == 1:
         W = W[:, None]
@@ -60,8 +77,8 @@ def equivariance_error(W: np.ndarray, rep_in: SumRep, rep_out: SumRep,
     errs = []
     for _ in range(n_samples):
         assign: Dict = {G: G.samples(1, rng)[0] for G in groups}
-        rin = rep_in.rho_dense(assign)
-        rout = rep_out.rho_dense(assign)
+        rin = _rho_of(rep_in, assign)
+        rout = _rho_of(rep_out, assign)
         gref = max((g for g in assign.values()),
                    key=lambda g: g.shape[-1])
         errs.append(scale_adjusted_rel_error(Ws @ rin, rout @ Ws, gref))

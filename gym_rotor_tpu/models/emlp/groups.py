@@ -69,6 +69,12 @@ class Group:
     def __hash__(self):
         return hash(self.key())
 
+    def __lt__(self, other):
+        """Deterministic ordering for rep canonicalization (the reference
+        sorts groups by salted ``hash(repr)``, groups.py:121-123, which is
+        nondeterministic across processes; repr-ordering fixes the layout)."""
+        return repr(self) < repr(other)
+
     def __repr__(self):
         a = ",".join(map(str, self.args))
         return f"{type(self).__name__}({a})"
