@@ -1,3 +1,4 @@
-from . import diagnostics, groups, nn, rep_algebra, reps, zoo
+from . import (diagnostics, general_nn, groups, nn, rep_algebra, reps, zoo)
 
-__all__ = ["diagnostics", "groups", "nn", "rep_algebra", "reps", "zoo"]
+__all__ = ["diagnostics", "general_nn", "groups", "nn", "rep_algebra",
+           "reps", "zoo"]
