@@ -5,7 +5,10 @@ quad body (two crossed arms + four rotors), body axes, heading command arrow,
 goal marker with trail, NED-style z-down view.  VPython is not available in
 the TPU image, so this uses matplotlib's 3D toolkit; ``interactive=False``
 renders offscreen (frames retrievable via ``save``), which also makes the
-renderer usable on headless hosts and in tests.
+renderer usable on headless hosts and in tests.  Where the reference's scene
+is live-only (a browser canvas you must watch), ``capture=True`` records
+every drawn frame and ``save_animation`` writes the flight as an animated
+GIF — the headless equivalent of watching the VPython scene.
 """
 from __future__ import annotations
 
@@ -16,7 +19,8 @@ AXIS_LEN = 0.4
 
 
 class Renderer:
-    def __init__(self, interactive: bool = None, fps: int = 60):
+    def __init__(self, interactive: bool = None, fps: int = 60,
+                 capture: bool = False):
         import matplotlib
 
         if interactive is None:
@@ -29,6 +33,8 @@ class Renderer:
         self.plt = plt
         self.interactive = interactive
         self.fps = fps
+        self.capture = capture
+        self.frames = []
         self.fig = plt.figure(figsize=(9, 6))
         self.ax = self.fig.add_subplot(111, projection="3d")
         self.trail = []
@@ -78,10 +84,30 @@ class Renderer:
             self.plt.pause(1.0 / self.fps)
         else:
             self.fig.canvas.draw()
+        if self.capture:
+            self.frames.append(self._grab_frame())
         return True
+
+    def _grab_frame(self):
+        from PIL import Image
+
+        buf = np.asarray(self.fig.canvas.buffer_rgba())
+        return Image.fromarray(buf[..., :3])
 
     def save(self, path: str):
         self.fig.savefig(path, dpi=110)
+        return path
+
+    def save_animation(self, path: str, fps: int = None):
+        """Write captured frames as an animated GIF (requires ``capture=True``
+        at construction and at least one ``draw``)."""
+        if not self.frames:
+            raise ValueError("no frames captured; construct with capture=True"
+                             " and call draw() first")
+        fps = fps or min(self.fps, 30)
+        self.frames[0].save(
+            path, save_all=True, append_images=self.frames[1:],
+            duration=int(1000 / fps), loop=0)
         return path
 
     def close(self):

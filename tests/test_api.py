@@ -136,6 +136,21 @@ def test_renderer_offscreen(tmp_path):
     r.close()
 
 
+def test_renderer_animation(tmp_path):
+    from PIL import Image
+
+    from gym_rotor_tpu.render import Renderer
+
+    r = Renderer(interactive=False, capture=True)
+    for i in range(4):
+        r.draw(np.array([0.1 * i, 0, -0.3]), np.eye(3), np.zeros(3),
+               np.array([1.0, 0, 0]))
+    gif = r.save_animation(str(tmp_path / "flight.gif"))
+    r.close()
+    with Image.open(gif) as im:
+        assert im.n_frames == 4
+
+
 @pytest.mark.skipif(not HAS_REF, reason="reference checkout not available")
 def test_decoupled_wrapper_parity_vs_reference(monkeypatch):
     """MODUL two-agent wrapper vs the actual reference (virtual moments +

@@ -269,8 +269,8 @@ class Learner:
     def render_rows(self, rows, max_frames=150):
         """Visualize env 0's eval flight (reference renders during eval
         behind --render, main.py:355-356; renderer quad.py:469-754).  Rows
-        are the flight-log layout; on a headless backend the final frame is
-        saved as a PNG next to the logs."""
+        are the flight-log layout; on a headless backend the flight is saved
+        as an animated GIF plus a final-frame PNG next to the logs."""
         from datetime import datetime
 
         from gym_rotor_tpu.render.renderer import Renderer
@@ -278,7 +278,7 @@ class Learner:
         na = sum(self.cfg.action_dim_n)
         s18 = rows[:, na:na + 18]
         cmd = rows[:, na + 18 + 5:]
-        r = Renderer()
+        r = Renderer(capture=True)
         try:
             stride = max(1, len(rows) // max_frames)
             for row_s, row_c in zip(s18[::stride], cmd[::stride]):
@@ -291,7 +291,9 @@ class Learner:
                 stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
                 path = os.path.join(self.results_dir, f"render_{stamp}.png")
                 r.save(path)
-                print(f"render frame saved: {path}")
+                gif = os.path.join(self.results_dir, f"render_{stamp}.gif")
+                r.save_animation(gif)
+                print(f"render saved: {path}, {gif}")
         finally:
             r.close()
 
