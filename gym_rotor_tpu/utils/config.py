@@ -120,6 +120,12 @@ class Config:
     resume: bool = False              # resume from checkpoint_path
     checkpoint_replay: bool = False   # include the replay ring in the ckpt
     profile_dir: str = ""             # capture a jax.profiler trace here
+    eval_stream: str = "parallel"     # "parallel": num_eval envs keyed from
+                                      # PRNGKey(seed) (same distribution as
+                                      # the reference eval, different draws);
+                                      # "reference": bit-exact replay of the
+                                      # reference's sequential seed-1992 eval
+                                      # episodes (envs/ref_stream.py)
 
     # ------------------------------------------------------------------
     # Derived quantities (reference quad.py:71-88).

@@ -176,6 +176,56 @@ def _extract_network(network) -> Dict:
                                        "b": jnp.asarray(bh)}}
 
 
+def _pin_reference_rep_order():
+    """Pin the reference EMLP engine's rep ordering to a deterministic
+    canonical order.
+
+    Found reference bug: ``Rep.__lt__`` breaks group/size ties by
+    ``hash(self)`` (representation.py:171-187 "For sorting purposes only")
+    and ``Group.__lt__`` compares ``hash(repr(self))`` (groups.py:118-123) —
+    but ``Base.__hash__ = hash((type(self), self.G))`` (representation.py:292)
+    includes id-based *type object* hashes, so the canonicalization order of
+    same-size reps (the whole Mirror(1) rank tower that MODUL agent 2 is
+    built from) depends on the process's memory allocation history.  The
+    bilinear layer's parameter layout and its ``torch.randint`` input-mixing
+    draws (representation.py:358-402) follow that order, so the reference's
+    own trained ``.pth`` reloads to a *different function* in a different
+    process: evaluating the shipped MODUL pair across import orderings we
+    measured benchmark 76.6-970.7 depending on process history alone.
+
+    Before constructing any model we therefore replace the tie-break with a
+    repr-based lexicographic order (total, deterministic, process
+    independent).  This pins *our* import to one fixed function; the exact
+    function the reference's training process deployed is unrecoverable in
+    principle (its ordering died with that process).
+    """
+    import algos.emlp_torch.groups as groups_mod
+    import algos.emlp_torch.reps.representation as repr_mod
+
+    def group_lt(self, other):
+        return repr(self) < repr(other)
+
+    def rep_lt(self, other):
+        # mirror representation.py:171-187 with a stable final tie-break
+        if other == repr_mod.Scalar:
+            return False
+        try:
+            if self.G < other.G:
+                return True
+            if self.G > other.G:
+                return False
+        except (AttributeError, TypeError):
+            pass
+        if self.size() < other.size():
+            return True
+        if self.size() > other.size():
+            return False
+        return repr(self) < repr(other)
+
+    groups_mod.Group.__lt__ = group_lt
+    repr_mod.Rep.__lt__ = rep_lt
+
+
 def load_reference_td3_actors(ref_path: str, framework: str,
                               checkpoints: List[Tuple[str, int]],
                               seed: int = 1992):
@@ -211,6 +261,8 @@ def load_reference_td3_actors(ref_path: str, framework: str,
         from gym_rotor.wrappers.decoupled_yaw_wrapper import DecoupledWrapper
         from utils.trajectory_generator import TrajectoryGenerator
         from utils.utils import set_seed
+
+        _pin_reference_rep_order()
 
         args = args_parse.create_parser().parse_args([])
         args.seed = seed

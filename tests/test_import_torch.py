@@ -22,7 +22,7 @@ pytestmark = pytest.mark.skipif(
     reason="reference checkpoints not mounted")
 
 
-def _eval_imported(framework, checkpoints):
+def _eval_imported(framework, checkpoints, eval_stream="parallel"):
     import train as train_mod
     from gym_rotor_tpu.utils import import_torch
     from gym_rotor_tpu.utils.config import Config
@@ -31,7 +31,8 @@ def _eval_imported(framework, checkpoints):
         REF, framework, checkpoints, seed=1992)
     cfg = Config(framework=framework,
                  module_training="DTDE" if framework == "MODUL" else "CTDE",
-                 num_eval=10, seed=1992, save_log=False)
+                 num_eval=10, seed=1992, save_log=False,
+                 eval_stream=eval_stream)
     rollout = train_mod.build_eval_rollout(
         cfg, import_torch.reference_actor_policy(params_n))
     rewards, bench, success, ex, eb1, _ = rollout(
@@ -63,4 +64,21 @@ def test_imported_mono_policy_flies_in_our_env():
                       "TD3_MONO_700.0k_steps_agent_0_1992.pth"), 0),
     ])
     assert 880.0 < bench <= 1000.0, bench
+    assert rewards.min() > 900.0
+
+
+def test_imported_modul_policy_on_reference_eval_stream():
+    """Strongest cross-validation: the reference's own trained MODUL pair,
+    flown on the reference's *exact* seed-1992 eval episodes (initial states
+    + headings replayed bit-exactly, envs/ref_stream.py) in our dynamics —
+    the only remaining differences are f32 vs f64 and fixed-step RK4 vs
+    adaptive DOP853.  Must land in the reference's own logged band (928-941,
+    results/log_eval_seed_1992.txt rows 980k-994k)."""
+    rewards, bench, success = _eval_imported("MODUL", [
+        (os.path.join(REF, "models",
+                      "TD3_MODUL_564.0k_steps_agent_0_1992.pth"), 0),
+        (os.path.join(REF, "models",
+                      "TD3_MODUL_850.0k_steps_agent_1_1992.pth"), 1),
+    ], eval_stream="reference")
+    assert 910.0 < bench <= 1000.0, bench
     assert rewards.min() > 900.0

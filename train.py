@@ -34,6 +34,7 @@ from gym_rotor_tpu.algos import replay as replay_lib
 from gym_rotor_tpu.algos import sac as sac_lib
 from gym_rotor_tpu.algos import td3 as td3_lib
 from gym_rotor_tpu.envs import batch as batch_lib
+from gym_rotor_tpu.envs import ref_stream
 from gym_rotor_tpu.envs.quad import DT
 from gym_rotor_tpu.models import ppo_models, sac_models, td3_models
 from gym_rotor_tpu.parallel import mesh as mesh_lib
@@ -62,17 +63,25 @@ def build_eval_rollout(cfg: Config, act_eval):
     policy — the trained agents' actors, or an imported reference policy
     (utils/import_torch.py).
 
-    Comparability note: the reference evaluates 10 *sequential* episodes on
-    one env seeded 1992 (main.py:280-314); we roll 10 parallel envs keyed
-    from PRNGKey(1992) — same initial-state distribution, different draws,
-    so benchmark numbers compare across n=10 episode samples (a few points
-    of noise), not identical trajectories.
+    Comparability (cfg.eval_stream): the reference evaluates 10 *sequential*
+    episodes on one env seeded 1992 (main.py:280-314).  "parallel" (default)
+    rolls 10 parallel envs keyed from PRNGKey(seed) — same initial-state
+    distribution, different draws, so benchmark numbers compare across n=10
+    episode samples (a few points of noise).  "reference" replays the
+    reference's exact 13-uniform-per-episode reset stream on host
+    (envs/ref_stream.py, golden-tested bit-exact) and rolls those identical
+    episodes batched — benchmark numbers are then directly comparable, up to
+    integrator tolerance (our fixed-step RK4 vs its adaptive DOP853).
     """
     eval_cfg = cfg.replace(num_envs=cfg.num_eval)
     eval_steps = int(round(cfg.eval_max_steps / DT))
 
     def eval_rollout(states, key):
-        bs, obs = batch_lib.batched_reset(eval_cfg, key, "eval")
+        if cfg.eval_stream == "reference":
+            bs, obs = ref_stream.batched_reset_reference(eval_cfg,
+                                                         seed=EVAL_SEED)
+        else:
+            bs, obs = batch_lib.batched_reset(eval_cfg, key, "eval")
 
         def body(carry, _):
             bs, obs, active, ep_rwd, bench, last_ex, last_eb1 = carry
