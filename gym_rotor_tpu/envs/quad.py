@@ -439,8 +439,16 @@ def reset_state(cfg: Config, key: jax.Array, env_type: str = "train",
     if cfg.exact_so3:
         R = so3.ensure_so3_exact(R)
 
+    return fresh_state(p, x, v, R, W, k_next, dtype)
+
+
+def fresh_state(p: QuadParams, x, v, R, W, key, dtype=jnp.float32) -> EnvState:
+    """Post-reset EnvState for a given pose: zero integrals, hover wrench,
+    default goal (quad.py:206-216 + wrapper zeroing coupled:27-41).  Shared
+    by the randomized reset above and the reference eval-stream replay
+    (envs/ref_stream.py) so their initialization semantics cannot drift."""
     z3 = jnp.zeros(3, dtype)
-    state = EnvState(
+    return EnvState(
         x=x, v=v, R=R, W=W,
         eIx=z3, eIx_integrand=z3,
         eIb1=jnp.zeros((), dtype), eIb1_integrand=jnp.zeros((), dtype),
@@ -448,9 +456,8 @@ def reset_state(cfg: Config, key: jax.Array, env_type: str = "train",
         goal=Goal.default(dtype),
         params=p,
         t=jnp.zeros((), jnp.int32),
-        key=k_next,
+        key=key,
     )
-    return state
 
 
 def reset(cfg: Config, key: jax.Array, env_type: str = "train",

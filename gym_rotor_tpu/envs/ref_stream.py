@@ -30,16 +30,18 @@ benchmark protocol, main.py:280-314 with train_traj_mode=0, is covered).
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import so3
 from ..utils.config import Config
 from . import params as params_lib
 from . import quad
 from .batch import BatchedEnvState, _obs_tuple
 from .oracle import euler_to_rot, psvd
-from .state import EnvState, Goal
 from .trajectory import TrajState, get_desired, mark_traj_start
 
 D2R = np.pi / 180.0
@@ -92,11 +94,13 @@ def reference_eval_inits(num_eval: int, seed: int = 1992):
     }
 
 
-def batched_reset_reference(cfg: Config, seed: int = None,
+def batched_reset_reference(cfg: Config, seed: Optional[int] = None,
                             dtype=jnp.float32):
     """Batched eval reset from the reference's exact episode stream: one env
-    per reference eval episode (N = cfg.num_eval), nominal params, zero
-    integrals, goal = mode-0 zero setpoint with the stream's heading.
+    per reference eval episode (N = cfg.num_envs; ``train.build_eval_rollout``
+    passes a config with num_envs = num_eval so env i replays reference eval
+    episode i), nominal params, zero integrals, goal = mode-0 zero setpoint
+    with the stream's heading.
 
     Mirrors the reference driver order reset -> mark_traj_start ->
     get_desired -> set_goal_state -> get_norm_error_state (main.py:308-314)
@@ -112,19 +116,12 @@ def batched_reset_reference(cfg: Config, seed: int = None,
     inits = reference_eval_inits(cfg.num_envs, seed)
 
     def one(x, v, R, W, b1d, key):
+        if cfg.exact_so3:
+            R = so3.ensure_so3_exact(R)  # like reset_state (quad.py:439-440)
         p = params_lib.nominal(dtype)
-        z3 = jnp.zeros(3, dtype)
-        state = EnvState(
-            x=x, v=v, R=R, W=W,
-            eIx=z3, eIx_integrand=z3,
-            eIb1=jnp.zeros((), dtype), eIb1_integrand=jnp.zeros((), dtype),
-            f_total=p.m * params_lib.G_STD, M=z3,
-            goal=Goal.default(dtype),
-            params=p,
-            t=jnp.zeros((), jnp.int32),
-            key=key,
-        )
-        ts = TrajState.create(key, dtype)
+        ek, tk = jax.random.split(key)  # disjoint env/traj streams, like
+        state = quad.fresh_state(p, x, v, R, W, ek, dtype)  # batched_reset
+        ts = TrajState.create(tk, dtype)
         ts = mark_traj_start(ts, state.x, state.R)
         # the mode-0 heading draw already happened on host: freeze it
         # (init_b1d False) and pin the zero setpoint

@@ -198,9 +198,20 @@ def _pin_reference_rep_order():
     independent).  This pins *our* import to one fixed function; the exact
     function the reference's training process deployed is unrecoverable in
     principle (its ordering died with that process).
+
+    Returns an ``undo()`` restoring the original methods, so the patch does
+    not leak into other in-process consumers of the reference engine (e.g.
+    tests/test_rep_algebra.py's goldens against the pristine library).
     """
     import algos.emlp_torch.groups as groups_mod
     import algos.emlp_torch.reps.representation as repr_mod
+
+    orig_group_lt = groups_mod.Group.__lt__
+    orig_rep_lt = repr_mod.Rep.__lt__
+
+    def undo():
+        groups_mod.Group.__lt__ = orig_group_lt
+        repr_mod.Rep.__lt__ = orig_rep_lt
 
     def group_lt(self, other):
         return repr(self) < repr(other)
@@ -224,6 +235,7 @@ def _pin_reference_rep_order():
 
     groups_mod.Group.__lt__ = group_lt
     repr_mod.Rep.__lt__ = rep_lt
+    return undo
 
 
 def load_reference_td3_actors(ref_path: str, framework: str,
@@ -237,13 +249,18 @@ def load_reference_td3_actors(ref_path: str, framework: str,
 
     Replays main.py:37-112: env wrapper -> set_seed -> TrajectoryGenerator ->
     [TD3(args, i) for i in range(N)] — the same torch-RNG consumption order
-    as the training run, so the bilinear sampling indices match the ones the
-    checkpoints were trained with.
+    as the training run, under a pinned deterministic rep ordering
+    (:func:`_pin_reference_rep_order`).  Because the reference's own
+    canonicalization order was process-dependent, this reproduces one fixed
+    candidate of the trained function (the top-scoring ordering we measured),
+    not provably the training process's exact one — see the pinning
+    docstring for the measured spread.
     """
     if ref_path not in sys.path:
         sys.path.insert(0, ref_path)
     argv, sys.argv = sys.argv, ["main.py", "--framework", framework]
     cwd = os.getcwd()
+    undo_pin = None
     try:
         for mod in list(sys.modules):
             # "plum" too: the stub's dispatch registry must not accumulate
@@ -262,7 +279,7 @@ def load_reference_td3_actors(ref_path: str, framework: str,
         from utils.trajectory_generator import TrajectoryGenerator
         from utils.utils import set_seed
 
-        _pin_reference_rep_order()
+        undo_pin = _pin_reference_rep_order()
 
         args = args_parse.create_parser().parse_args([])
         args.seed = seed
@@ -287,6 +304,8 @@ def load_reference_td3_actors(ref_path: str, framework: str,
             out.append(_extract_network(a.actor.network))
         return out, agents
     finally:
+        if undo_pin is not None:
+            undo_pin()
         sys.argv = argv
         os.chdir(cwd)
 

@@ -73,6 +73,10 @@ def build_eval_rollout(cfg: Config, act_eval):
     episodes batched — benchmark numbers are then directly comparable, up to
     integrator tolerance (our fixed-step RK4 vs its adaptive DOP853).
     """
+    if cfg.eval_stream not in ("parallel", "reference"):
+        raise ValueError(
+            f"unknown eval_stream {cfg.eval_stream!r}: "
+            "expected 'parallel' or 'reference'")
     eval_cfg = cfg.replace(num_envs=cfg.num_eval)
     eval_steps = int(round(cfg.eval_max_steps / DT))
 
