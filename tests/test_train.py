@@ -97,6 +97,29 @@ def test_ppo_mono_driver_smoke(tmp_path, monkeypatch):
     assert int(learner.states[0].total_it) == 4
 
 
+def test_reference_eval_stream_driver_smoke(tmp_path, monkeypatch):
+    """--eval_stream reference wires the replayed reference eval episodes
+    (envs/ref_stream.py) through the driver: eval fires on the replayed
+    stream and logs (reference main.py:280-314 protocol, same episodes)."""
+    learner = _run(tmp_path, monkeypatch, [
+        "--framework", "MODUL", "--rl_algo", "TD3", "--use_equiv", "False",
+        "--max_timesteps", "128", "--start_timesteps", "32",
+        "--eval_freq", "64", "--updates_per_step", "1",
+        "--eval_stream", "reference",
+    ])
+    assert learner.total_timesteps >= 128
+    evals = (tmp_path / "results" / "log_eval_seed_7.txt").read_text()
+    assert len(evals.strip().splitlines()) >= 1
+
+
+def test_unknown_eval_stream_rejected(tmp_path, monkeypatch):
+    with pytest.raises(ValueError, match="eval_stream"):
+        _run(tmp_path, monkeypatch, [
+            "--framework", "MONO", "--rl_algo", "TD3", "--use_equiv",
+            "False", "--max_timesteps", "64", "--eval_stream", "bogus",
+        ])
+
+
 def test_resume_continues_from_checkpoint(tmp_path, monkeypatch):
     """--resume picks up total_timesteps/params from the checkpoint."""
     _run(tmp_path, monkeypatch, [
