@@ -38,7 +38,10 @@ def main(argv=None):
     def policy(_, ob, k):
         return jax.random.uniform(k, (n_act, 4), jnp.float32, -0.1, 0.1)
 
-    steps_per_call = 200
+    # 1000 scanned steps per dispatch: at 200 the measurement was dominated
+    # by host->device dispatch latency through the tunnel (~1 ms/call vs
+    # ~4 ms of device time), under-reporting the engine by 3.4x at 4096 envs
+    steps_per_call = 1000
 
     @jax.jit
     def run(b, o, k):
