@@ -75,14 +75,26 @@ def test_td3_modul_driver_smoke(tmp_path, monkeypatch):
 
 
 def test_sac_mono_driver_smoke(tmp_path, monkeypatch):
+    """SAC driver smoke, doubling as the eval-artifact check: --save_log
+    writes the reference-format .dat flight log and --render saves the
+    offscreen PNG + GIF of env 0's eval flight (reference main.py:355-356)."""
     learner = _run(tmp_path, monkeypatch, [
         "--framework", "MONO", "--rl_algo", "SAC", "--use_equiv", "False",
         "--max_timesteps", "128", "--start_timesteps", "32",
         "--eval_freq", "64", "--updates_per_step", "1",
+        "--save_log", "True", "--render", "True",
     ])
     assert learner.total_timesteps >= 128
     assert int(learner.states[0].total_it) > 0
-    assert os.path.exists(tmp_path / "results" / "log_eval_seed_7.txt")
+    results = tmp_path / "results"
+    assert os.path.exists(results / "log_eval_seed_7.txt")
+    names = os.listdir(results)
+    assert any(n.startswith("MONO_log_") and n.endswith(".dat")
+               for n in names), names
+    assert any(n.startswith("render_") and n.endswith(".png")
+               for n in names), names
+    assert any(n.startswith("render_") and n.endswith(".gif")
+               for n in names), names
 
 
 def test_ppo_mono_driver_smoke(tmp_path, monkeypatch):
