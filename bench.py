@@ -10,22 +10,86 @@ publishes no throughput numbers — see BASELINE.md).
 """
 import argparse
 import json
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-from gym_rotor_tpu.envs import batch
-from gym_rotor_tpu.utils.config import Config
-
 TARGET = 1e7  # env-steps/s north star (BASELINE.json)
+
+# Minimal compile probe, run in a SUBPROCESS so a wedged remote-compile
+# service (see .claude/skills/verify/SKILL.md: the axon backend occasionally
+# blocks a fresh process's first compile indefinitely, fully server-side)
+# hangs a killable child instead of this process.  The probe is tiny, so a
+# healthy backend clears it in well under the timeout even on first compile.
+_PROBE = (
+    "import os, jax, jax.numpy as jnp;"
+    # the axon plugin overrides JAX_PLATFORMS, so an explicit platform
+    # (used by tests to force cpu) must go through jax.config post-import
+    "p = os.environ.get('GYM_ROTOR_PROBE_PLATFORM');"
+    "p and jax.config.update('jax_platforms', p);"
+    "x = jax.jit(lambda a: a @ a)(jnp.ones((128, 128)));"
+    "jax.block_until_ready(x); print('probe-ok')"
+)
+
+
+def _probe_backend(attempts=4, timeout_s=180.0, backoff_s=45.0):
+    """Return None if a tiny jit compile succeeds, else an error string."""
+    last = "unknown"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0 and "probe-ok" in r.stdout:
+                return None
+            last = (r.stderr.strip().splitlines() or ["rc=%d" % r.returncode])[-1]
+        except subprocess.TimeoutExpired:
+            last = "probe compile timed out after %.0fs" % timeout_s
+        if i + 1 < attempts:
+            print("bench: probe attempt %d/%d failed (%s); backing off %.0fs"
+                  % (i + 1, attempts, last, backoff_s), file=sys.stderr)
+            time.sleep(backoff_s)
+    return last
+
+
+def _emit_error(err):
+    """Protocol-conformant failure line: parseable, flags the error."""
+    print(json.dumps({
+        "metric": "env_steps_per_sec",
+        "value": 0.0,
+        "unit": "steps/s",
+        "vs_baseline": 0.0,
+        "error": str(err)[:500],
+    }))
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_envs", type=int, default=4096,
                     help="lockstep env batch (4096 = the BASELINE point)")
+    ap.add_argument("--skip_probe", action="store_true",
+                    help="skip the subprocess compile probe (tests)")
     args = ap.parse_args(argv)
+
+    if not args.skip_probe:
+        err = _probe_backend()
+        if err is not None:
+            _emit_error("backend probe failed: " + err)
+            return
+
+    try:
+        _run_bench(args)
+    except Exception as e:  # noqa: BLE001 — protocol demands one JSON line
+        _emit_error("%s: %s" % (type(e).__name__, e))
+
+
+def _run_bench(args):
+    import jax
+    import jax.numpy as jnp
+
+    from gym_rotor_tpu.envs import batch
+    from gym_rotor_tpu.utils.config import Config
+
     cfg = Config(framework="MONO", integrator="rk4", num_envs=args.num_envs,
                  max_steps=4000)
     key = jax.random.PRNGKey(0)

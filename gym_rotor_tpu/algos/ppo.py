@@ -58,6 +58,19 @@ class PPOAgent:
                         and cfg.module_training == "CTDE")
         self.actor_tx = make_optimizer(cfg, cfg.lr_a[agent_id])
         self.critic_tx = make_optimizer(cfg, cfg.lr_c[agent_id])
+        # Projection folding (cfg.equiv_fold) — see td3.TD3Agent
+        self.use_fold = bool(cfg.equiv_fold and defs.actor_fold is not None)
+
+    def fold_actor(self, params):
+        return self.defs.actor_fold(params) if self.use_fold else params
+
+    def fold_critic(self, params):
+        return self.defs.critic_fold(params) if self.use_fold else params
+
+    @property
+    def critic_apply_def(self):
+        return (self.defs.critic_fast if self.use_fold
+                else self.defs.critic_def)
 
     def init(self, key: jax.Array) -> PPOState:
         cfg = self.cfg
@@ -78,9 +91,19 @@ class PPOAgent:
     def dist(self, actor_params, obs):
         return self.defs.actor_def.apply(actor_params, obs)
 
+    def dist_f(self, folded_actor_params, obs):
+        """dist over pre-folded params (callers fold once per use-site)."""
+        d = self.defs.actor_fast if self.use_fold else self.defs.actor_def
+        return d.apply(folded_actor_params, obs)
+
     def choose_action(self, state: PPOState, obs, key, is_eval=False):
         """(action, per-dim logprob) (ppo.py:82-102)."""
-        mean, log_std = self.dist(state.actor, obs)
+        return self.choose_action_f(self.fold_actor(state.actor), obs, key,
+                                    is_eval)
+
+    def choose_action_f(self, folded_actor_params, obs, key, is_eval=False):
+        """choose_action over pre-folded params (rollout hot path)."""
+        mean, log_std = self.dist_f(folded_actor_params, obs)
         if is_eval:
             a = jnp.clip(mean, -self.cfg.max_action, self.cfg.max_action)
             return a, jnp.zeros_like(a)
@@ -147,8 +170,9 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
     else:
         v_obs, v_next_obs = data.obs[i], data.next_obs[i]
 
-    values = agent.defs.critic_def.apply(state.critic, v_obs)
-    next_values = agent.defs.critic_def.apply(state.critic, v_next_obs)
+    critic_fv = agent.fold_critic(state.critic)  # one fold, two forwards
+    values = agent.critic_apply_def.apply(critic_fv, v_obs)
+    next_values = agent.critic_apply_def.apply(critic_fv, v_next_obs)
     # GAE scans over the time axis; with batched envs ((T, B, ...) arrays)
     # the scan carry is (B, 1) so every env's advantage chain is independent.
     advs, td_targets = gae(cfg, values, next_values, data.rwd[i],
@@ -188,7 +212,8 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
             no = next_obs_i[idx]
 
             def loss_fn(ap):
-                mean, log_std = agent.dist(ap, o)
+                apf = agent.fold_actor(ap)  # one fold for main + CAPS fwds
+                mean, log_std = agent.dist_f(apf, o)
                 entropy = jnp.sum(mlp.gaussian_entropy(log_std), axis=-1,
                                   keepdims=True)
                 lp = mlp.gaussian_logprob(mean, log_std, a)
@@ -205,7 +230,7 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
                             ws, k_spec, extras)
                 loss = loss + regularizers.caps_regularization(
                     cfg, agent.agent_id,
-                    lambda oo: agent.dist(ap, oo)[0], o, no, k_caps)
+                    lambda oo: agent.dist_f(apf, oo)[0], o, no, k_caps)
                 return loss
 
             al, ag = jax.value_and_grad(loss_fn)(actor)
@@ -224,7 +249,11 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
             tt = td_targets[idx]
 
             def loss_fn(cp):
-                loss = jnp.mean((agent.defs.critic_def.apply(cp, vo) - tt) ** 2)
+                # fold inside the loss; L2 + spectral regs see RAW kernels
+                # like the reference's named_parameters traversal
+                loss = jnp.mean(
+                    (agent.critic_apply_def.apply(agent.fold_critic(cp), vo)
+                     - tt) ** 2)
                 # L2 on kernels ('weight' params, ppo.py:202-204)
                 l2 = sum(jnp.sum(w ** 2) for w in _kernels(cp))
                 loss = loss + cfg.l2_reg * l2

@@ -50,6 +50,19 @@ class SACAgent:
         self.alpha_tx = optax.adamw(cfg.lr_a[agent_id])
         # Target Entropy = -dim(A) (sac.py:85-86)
         self.target_entropy = -float(self.action_dim)
+        # Projection folding (cfg.equiv_fold) — see td3.TD3Agent
+        self.use_fold = bool(cfg.equiv_fold and defs.actor_fold is not None)
+
+    def fold_actor(self, params):
+        return self.defs.actor_fold(params) if self.use_fold else params
+
+    def fold_critic(self, params):
+        return self.defs.critic_fold(params) if self.use_fold else params
+
+    @property
+    def critic_apply_def(self):
+        return (self.defs.critic_fast if self.use_fold
+                else self.defs.critic_def)
 
     def init(self, key: jax.Array) -> SACState:
         cfg = self.cfg
@@ -78,10 +91,21 @@ class SACAgent:
         mean, log_std = self.defs.actor_def.apply(actor_params, obs)
         return mlp.sac_sample(mean, log_std, key)
 
+    def sample_f(self, folded_actor_params, obs, key):
+        """sample over pre-folded params (callers fold once per use-site)."""
+        d = self.defs.actor_fast if self.use_fold else self.defs.actor_def
+        mean, log_std = d.apply(folded_actor_params, obs)
+        return mlp.sac_sample(mean, log_std, key)
+
     def choose_action(self, state: SACState, obs, key, is_eval=False):
         """Stochastic (train) / deterministic-mean (eval) action
         (sac.py:90-106)."""
         a, _, mean = self.sample(state.actor, obs, key)
+        return mean if is_eval else a
+
+    def choose_action_f(self, folded_actor_params, obs, key, is_eval=False):
+        """choose_action over pre-folded params (rollout hot path)."""
+        a, _, mean = self.sample_f(folded_actor_params, obs, key)
         return mean if is_eval else a
 
     def alpha(self, state: SACState):
@@ -119,17 +143,20 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         kk = ks[0]
         for j, other in enumerate(agents):
             kk, kn = jax.random.split(kk)
-            a_n, _, _ = other.sample(states[j].actor, batch.next_obs[j], kn)
+            a_n, _, _ = other.sample_f(other.fold_actor(states[j].actor),
+                                       batch.next_obs[j], kn)
             next_acts.append(a_n)
-        _, logp_next, _ = agent.sample(state.actor, next_obs, ks[1])
-        tq1, tq2 = agent.defs.critic_def.apply(
-            state.critic_target,
+        _, logp_next, _ = agent.sample_f(agent.fold_actor(state.actor),
+                                         next_obs, ks[1])
+        tq1, tq2 = agent.critic_apply_def.apply(
+            agent.fold_critic(state.critic_target),
             jnp.concatenate(batch.next_obs, axis=-1),
             jnp.concatenate(next_acts, axis=-1))
     else:
-        a_next, logp_next, _ = agent.sample(state.actor, next_obs, ks[1])
-        tq1, tq2 = agent.defs.critic_def.apply(state.critic_target,
-                                               next_obs, a_next)
+        a_next, logp_next, _ = agent.sample_f(agent.fold_actor(state.actor),
+                                              next_obs, ks[1])
+        tq1, tq2 = agent.critic_apply_def.apply(
+            agent.fold_critic(state.critic_target), next_obs, a_next)
     target_q = jnp.minimum(tq1, tq2) - alpha * logp_next
     target_q = rwd + cfg.discount * (1.0 - done) * target_q
     target_q = jax.lax.stop_gradient(target_q)
@@ -139,7 +166,10 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
 
     # ----- critic update (sac.py:155-170)
     def critic_loss_fn(cp):
-        q1, q2 = agent.defs.critic_def.apply(cp, c_obs, c_act)
+        # fold inside the loss: grads flow through the projection, spectral
+        # reg sees raw weights (see td3.py critic_loss_fn)
+        q1, q2 = agent.critic_apply_def.apply(agent.fold_critic(cp),
+                                              c_obs, c_act)
         loss = mse(q1, target_q) + mse(q2, target_q)
         if agent.defs.critic_spectral is not None:
             ws, extras = agent.defs.critic_spectral(cp)
@@ -153,21 +183,24 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
     critic = optax.apply_updates(state.critic, cupd)
 
     # ----- actor update (sac.py:172-203)
+    critic_f = agent.fold_critic(critic)  # constant inside the actor loss
+
     def actor_loss_fn(ap):
+        apf = agent.fold_actor(ap)  # one fold, fanned out to all forwards
         if agent.is_ctde:
             acts = []
             kk = ks[3]
             for j, other in enumerate(agents):
                 kk, kn = jax.random.split(kk)
-                p = ap if j == i else states[j].actor
-                a_j, _, _ = other.sample(p, batch.obs[j], kn)
+                pf = apf if j == i else other.fold_actor(states[j].actor)
+                a_j, _, _ = other.sample_f(pf, batch.obs[j], kn)
                 acts.append(a_j)
-            _, logp, _ = agent.sample(ap, obs, ks[4])
-            q1, q2 = agent.defs.critic_def.apply(
-                critic, c_obs, jnp.concatenate(acts, axis=-1))
+            _, logp, _ = agent.sample_f(apf, obs, ks[4])
+            q1, q2 = agent.critic_apply_def.apply(
+                critic_f, c_obs, jnp.concatenate(acts, axis=-1))
         else:
-            a_pi, logp, _ = agent.sample(ap, obs, ks[4])
-            q1, q2 = agent.defs.critic_def.apply(critic, obs, a_pi)
+            a_pi, logp, _ = agent.sample_f(apf, obs, ks[4])
+            q1, q2 = agent.critic_apply_def.apply(critic_f, obs, a_pi)
         loss = -(jnp.minimum(q1, q2) - alpha * logp).mean()
         if agent.defs.actor_spectral is not None:
             ws, extras = agent.defs.actor_spectral(ap)
@@ -175,7 +208,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                 ws, ks[2], extras)
         # CAPS (sac.py:194-195) — SAC uses sampled actions (policy_reg:9-11)
         def act_fn(o):
-            a, _, _ = agent.sample(ap, o, ks[5])
+            a, _, _ = agent.sample_f(apf, o, ks[5])
             return a
         loss = loss + regularizers.caps_regularization(
             cfg, agent.agent_id, act_fn, obs, next_obs, ks[3])

@@ -31,11 +31,19 @@ from .replay import Batch
 
 class ModelDefs(NamedTuple):
     """Static module definitions + optional spectral-norm weight extractors
-    (set for EMLP models, None for MLPs)."""
+    (set for EMLP models, None for MLPs).
+
+    ``*_fast`` are ``project=False`` twins of the EMLP defs and ``*_fold``
+    the matching param-folding fns (models/emlp/nn.py:make_fold_fn); set only
+    for EMLP models, consumed when cfg.equiv_fold is on."""
     actor_def: Any
     critic_def: Any
     actor_spectral: Optional[Callable] = None
     critic_spectral: Optional[Callable] = None
+    actor_fast: Any = None
+    critic_fast: Any = None
+    actor_fold: Optional[Callable] = None
+    critic_fold: Optional[Callable] = None
 
 
 @struct.dataclass
@@ -62,6 +70,25 @@ class TD3Agent:
                         and cfg.module_training == "CTDE")
         self.actor_tx = make_optimizer(cfg, cfg.lr_a[agent_id])
         self.critic_tx = make_optimizer(cfg, cfg.lr_c[agent_id])
+        # Projection folding (cfg.equiv_fold): fold the equivariant
+        # projection once per use-site, forward through the project=False
+        # twin.  fold_*/act_f degrade to identity/plain apply for MLPs.
+        self.use_fold = bool(cfg.equiv_fold and defs.actor_fold is not None)
+
+    def fold_actor(self, params):
+        return self.defs.actor_fold(params) if self.use_fold else params
+
+    def fold_critic(self, params):
+        return self.defs.critic_fold(params) if self.use_fold else params
+
+    @property
+    def actor_apply_def(self):
+        return self.defs.actor_fast if self.use_fold else self.defs.actor_def
+
+    @property
+    def critic_apply_def(self):
+        return (self.defs.critic_fast if self.use_fold
+                else self.defs.critic_def)
 
     def init(self, key: jax.Array) -> TD3State:
         cfg = self.cfg
@@ -87,15 +114,31 @@ class TD3Agent:
     def act(self, actor_params, obs):
         return self.defs.actor_def.apply(actor_params, obs)
 
+    def act_f(self, folded_actor_params, obs):
+        """Forward through the fast twin: callers pass params already run
+        through fold_actor (identity when folding is off)."""
+        return self.actor_apply_def.apply(folded_actor_params, obs)
+
     def choose_action(self, state: TD3State, obs, noise_std, key):
         """Policy + exploration noise (td3.py:82-96)."""
         a = self.act(state.actor, obs)
         noise = noise_std * jax.random.normal(key, a.shape, a.dtype)
         return jnp.clip(a + noise, -self.cfg.max_action, self.cfg.max_action)
 
+    def choose_action_f(self, folded_actor_params, obs, noise_std, key):
+        """choose_action over pre-folded params (rollout hot path: fold once
+        per chunk outside the scan instead of per tick)."""
+        a = self.act_f(folded_actor_params, obs)
+        noise = noise_std * jax.random.normal(key, a.shape, a.dtype)
+        return jnp.clip(a + noise, -self.cfg.max_action, self.cfg.max_action)
+
 
 def _critic_apply(agent: TD3Agent, params, obs, act):
     return agent.defs.critic_def.apply(params, obs, act)
+
+
+def _critic_apply_f(agent: TD3Agent, folded_params, obs, act):
+    return agent.critic_apply_def.apply(folded_params, obs, act)
 
 
 def train_step(cfg: Config, agents: Sequence[TD3Agent],
@@ -136,7 +179,8 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         kk = k_noise
         for j, other in enumerate(agents):
             kk, kn = jax.random.split(kk)
-            a_next = other.act(states[j].actor_target, batch.next_obs[j])
+            a_next = other.act_f(other.fold_actor(states[j].actor_target),
+                                 batch.next_obs[j])
             noise = jnp.clip(
                 cfg.target_noise * jax.random.normal(kn, a_next.shape),
                 -cfg.noise_clip, cfg.noise_clip)
@@ -144,15 +188,18 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                 jnp.clip(a_next + noise, -cfg.max_action, cfg.max_action))
         cat_next_obs = jnp.concatenate(batch.next_obs, axis=-1)
         cat_next_act = jnp.concatenate(next_acts, axis=-1)
-        tq1, tq2 = _critic_apply(agent, state.critic_target,
-                                 cat_next_obs, cat_next_act)
+        tq1, tq2 = _critic_apply_f(agent,
+                                   agent.fold_critic(state.critic_target),
+                                   cat_next_obs, cat_next_act)
     else:
-        a_next = agent.act(state.actor_target, next_obs)
+        a_next = agent.act_f(agent.fold_actor(state.actor_target), next_obs)
         noise = jnp.clip(
             cfg.target_noise * jax.random.normal(k_noise, a_next.shape),
             -cfg.noise_clip, cfg.noise_clip)
         a_next = jnp.clip(a_next + noise, -cfg.max_action, cfg.max_action)
-        tq1, tq2 = _critic_apply(agent, state.critic_target, next_obs, a_next)
+        tq1, tq2 = _critic_apply_f(agent,
+                                   agent.fold_critic(state.critic_target),
+                                   next_obs, a_next)
     target_q = rwd + cfg.discount * (1.0 - done) * jnp.minimum(tq1, tq2)
     target_q = jax.lax.stop_gradient(target_q)
 
@@ -164,7 +211,10 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
 
     # ----- critic update (td3.py:156-171)
     def critic_loss_fn(cp):
-        q1, q2 = _critic_apply(agent, cp, c_obs, c_act)
+        # fold INSIDE the loss so the gradient flows through the projection
+        # (preserving the reference's full-space AdamW state, nn.py:26-36;
+        # spectral reg sees the raw weights like the reference's traversal)
+        q1, q2 = _critic_apply_f(agent, agent.fold_critic(cp), c_obs, c_act)
         loss = mse(q1, target_q) + mse(q2, target_q)
         if agent.defs.critic_spectral is not None:
             ws, extras = agent.defs.critic_spectral(cp)
@@ -181,21 +231,30 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
 
     # ----- delayed actor + target update (td3.py:177-211)
     def do_actor(_):
+        # the (just-updated) critic is a constant inside the actor loss:
+        # fold it once outside the differentiated closure
+        critic_f = agent.fold_critic(critic)
+
         def actor_loss_fn(ap):
+            # one fold, fanned out to the main forward + the CAPS forwards
+            apf = agent.fold_actor(ap)
             if agent.is_ctde:
                 # all agents' *current* actors (td3.py:181)
                 acts = [
-                    jnp.clip(other.act(states[j].actor if j != i else ap,
-                                       batch.obs[j]),
-                             -cfg.max_action, cfg.max_action)
+                    jnp.clip(
+                        other.act_f(
+                            other.fold_actor(states[j].actor) if j != i
+                            else apf,
+                            batch.obs[j]),
+                        -cfg.max_action, cfg.max_action)
                     for j, other in enumerate(agents)
                 ]
-                q1, _ = _critic_apply(agent, critic, c_obs,
-                                      jnp.concatenate(acts, axis=-1))
+                q1, _ = _critic_apply_f(agent, critic_f, c_obs,
+                                        jnp.concatenate(acts, axis=-1))
             else:
-                pi = jnp.clip(agent.act(ap, obs), -cfg.max_action,
+                pi = jnp.clip(agent.act_f(apf, obs), -cfg.max_action,
                               cfg.max_action)
-                q1, _ = _critic_apply(agent, critic, obs, pi)
+                q1, _ = _critic_apply_f(agent, critic_f, obs, pi)
             loss = -q1.mean()
             if agent.defs.actor_spectral is not None:
                 ws, extras = agent.defs.actor_spectral(ap)
@@ -203,7 +262,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                     ws, k_spec2, extras)
             # CAPS smoothness (td3.py:196)
             loss = loss + regularizers.caps_regularization(
-                cfg, agent.agent_id, lambda o: agent.act(ap, o),
+                cfg, agent.agent_id, lambda o: agent.act_f(apf, o),
                 obs, next_obs, k_caps)
             return loss
 

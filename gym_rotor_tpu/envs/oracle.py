@@ -58,8 +58,15 @@ def hat(w):
 
 
 def psvd(A):
-    """Proper SVD (reference quad_utils.py:226-240)."""
-    U, s, VT = np.linalg.svd(A)
+    """Proper SVD incl. the perturb-retry on non-convergence
+    (reference quad_utils.py:226-240)."""
+    try:
+        U, s, VT = np.linalg.svd(A)
+    except np.linalg.LinAlgError:
+        # the reference perturbs with fresh global-RNG noise and retries
+        # once (quad_utils.py:229-233); a second failure propagates, as there
+        A = A + np.random.normal(0, 1e-6, A.shape)
+        U, s, VT = np.linalg.svd(A)
     detU = np.linalg.det(U)
     detV = np.linalg.det(VT)
     U[:, 2] = U[:, 2] * detU

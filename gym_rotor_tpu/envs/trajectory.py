@@ -15,6 +15,7 @@ Modes (trajectory_generator.py:16-30):
 """
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -39,13 +40,15 @@ NUM_EIGHTS = 3
 EIGHT_A1 = 1.5
 EIGHT_A2 = 1.0
 EIGHT_T = 9.0
-EIGHT_W1 = 2.0 * jnp.pi / EIGHT_T
-EIGHT_W2 = 4.0 * jnp.pi / EIGHT_T
+EIGHT_W1 = 2.0 * math.pi / EIGHT_T
+EIGHT_W2 = 4.0 * math.pi / EIGHT_T
 EIGHT_W_B1D = 0.349066          # 20 deg/s
 EIGHT_EPS = 0.01
-EIGHT_EXP_XY = -jnp.log(EIGHT_EPS) / EIGHT_T
+# math.log (not jnp.log): module-scope jnp ops initialize the TPU backend at
+# import time, which crashes any CLI entrypoint when the backend is wedged.
+EIGHT_EXP_XY = -math.log(EIGHT_EPS) / EIGHT_T
 EIGHT_ALT_D = -0.6
-EIGHT_EXP_Z = -jnp.log(EIGHT_EPS) / (3.0 * EIGHT_T)
+EIGHT_EXP_Z = -math.log(EIGHT_EPS) / (3.0 * EIGHT_T)
 
 
 @struct.dataclass

@@ -64,9 +64,21 @@ def _bias_init(nout):
 
 
 class EquivLinear(nn.Module):
-    """Equivariant linear layer rep_in -> rep_out (nn.py:13-36)."""
+    """Equivariant linear layer rep_in -> rep_out (nn.py:13-36).
+
+    ``project=True`` (default) reproduces the reference exactly: the raw
+    kernel is projected onto the equivariant subspace on *every* forward
+    (reference nn.py:26-36).  ``project=False`` is the folded fast path: the
+    kernel/bias params are assumed already projected (see ``make_fold_fn``);
+    the forward is then a plain dense layer.  Folding once per loss/use-site
+    and fanning the folded weights out to k forwards is bitwise-identical on
+    the forward path and mathematically identical on the backward path
+    (P is linear: sum-then-project == project-then-sum up to fp summation
+    order), which SURVEY §7.5 prescribes for closing the per-forward
+    projection overhead."""
     rep_in: SumRep
     rep_out: SumRep
+    project: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -76,7 +88,11 @@ class EquivLinear(nn.Module):
             lambda k, s: nn.initializers.orthogonal()(k, s, jnp.float32),
             (nout, nin))
         bias = self.param("bias", _bias_init(nout), (nout,))
-        W_eff, b_eff = project_linear(self.rep_in, self.rep_out, kernel, bias)
+        if self.project:
+            W_eff, b_eff = project_linear(self.rep_in, self.rep_out,
+                                          kernel, bias)
+        else:
+            W_eff, b_eff = kernel, bias
         return x @ W_eff.T + b_eff
 
 
@@ -268,11 +284,13 @@ class EMLPBlock(nn.Module):
     """G-Linear -> (+ BiLinear) -> gated nonlinearity (nn.py:85-99)."""
     rep_in: SumRep
     rep_out: SumRep
+    project: bool = True
 
     @nn.compact
     def __call__(self, x):
         grep = gated(self.rep_out)
-        lin = EquivLinear(self.rep_in, grep, name="linear")(x)
+        lin = EquivLinear(self.rep_in, grep, name="linear",
+                          project=self.project)(x)
         preact = EquivBiLinear(grep, name="bilinear")(lin) + lin
         return GatedNonlinearity(self.rep_out, name="nonlinearity")(preact)
 
@@ -284,12 +302,84 @@ class EMLP(nn.Module):
     """
     reps: Tuple[SumRep, ...]
     rep_out: SumRep
+    project: bool = True
 
     @nn.compact
     def __call__(self, x):
         for i, (rin, rout) in enumerate(zip(self.reps, self.reps[1:])):
-            x = EMLPBlock(rin, rout, name=f"block{i}")(x)
-        return EquivLinear(self.reps[-1], self.rep_out, name="head")(x)
+            x = EMLPBlock(rin, rout, name=f"block{i}",
+                          project=self.project)(x)
+        return EquivLinear(self.reps[-1], self.rep_out, name="head",
+                           project=self.project)(x)
+
+
+# ----------------------------------------------------------------------------
+# Projection folding (SURVEY §7.5): fold W -> P(W) once per use-site instead
+# of on every forward.
+# ----------------------------------------------------------------------------
+def collect_linear_specs(module_def, *sample_args, method=None):
+    """Record every EquivLinear in ``module_def`` as (params-path, rep_in,
+    rep_out) by abstractly tracing ``init`` under a flax method interceptor.
+    Host-side, no FLOPs (eval_shape), no backend init."""
+    specs = []
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if (isinstance(m, EquivLinear)
+                and context.method_name == "__call__"
+                and not any(m.path == p for p, _, _ in specs)):
+            specs.append((m.path, m.rep_in, m.rep_out))
+        return next_fun(*args, **kwargs)
+
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    with nn.intercept_methods(interceptor):
+        if method is None:
+            jax.eval_shape(module_def.init, key, *sample_args)
+        else:
+            jax.eval_shape(
+                lambda k, *a: module_def.init(k, *a, method=method),
+                key, *sample_args)
+    return specs
+
+
+def _update_path(tree, path, fn):
+    if not path:
+        return fn(tree)
+    new = dict(tree)
+    new[path[0]] = _update_path(tree[path[0]], path[1:], fn)
+    return new
+
+
+def make_fold_fn(module_def, *sample_args):
+    """Build ``fold(params) -> params`` replacing every EquivLinear's raw
+    (kernel, bias) with its equivariant projection.  Applying the folded
+    params through the ``project=False`` twin of ``module_def`` is bitwise
+    identical to applying the raw params through the projecting module (both
+    compute x @ W_eff.T + b_eff with the same W_eff).  Pure and jittable;
+    differentiate through it to keep the reference's full-space optimizer
+    semantics (reference nn.py:26-36: optimizer state lives in the
+    unprojected space)."""
+    specs = collect_linear_specs(module_def, *sample_args)
+
+    def fold(params):
+        wrapped = isinstance(params, dict) and "params" in params
+        tree = params["params"] if wrapped else params
+        for path, rin, rout in specs:
+            def proj(leaf, rin=rin, rout=rout):
+                W, b = project_linear(rin, rout, leaf["kernel"], leaf["bias"])
+                out = dict(leaf)
+                out["kernel"] = W
+                out["bias"] = b
+                return out
+            tree = _update_path(tree, path, proj)
+        return {**params, "params": tree} if wrapped else tree
+
+    return fold
+
+
+def fast_twin(module_def):
+    """The ``project=False`` twin of an EMLP-family module definition."""
+    return module_def.clone(project=False)
 
 
 def spectral_weights(params) -> Tuple[List, List]:

@@ -20,7 +20,8 @@ from ...algos.td3 import ModelDefs
 from ...models import mlp
 from ...utils.config import Config
 from . import groups as G
-from .nn import EMLP, EMLPBlock, EquivLinear, spectral_weights
+from .nn import (EMLP, EMLPBlock, EquivLinear, fast_twin, make_fold_fn,
+                 spectral_weights)
 from .reps import Scalar, SumRep, Vector, uniform_rep
 
 LOG_SIG_MAX, LOG_SIG_MIN = 2.0, -20.0
@@ -103,11 +104,13 @@ class EMLPActorDet(nn.Module):
     hidden: SumRep
     rep_out: SumRep
     hidden_num: int = 2
+    project: bool = True
 
     @nn.compact
     def __call__(self, obs):
         reps = (self.rep_in,) + (self.hidden,) * self.hidden_num
-        return jnp.tanh(EMLP(reps, self.rep_out, name="network")(obs))
+        return jnp.tanh(EMLP(reps, self.rep_out, name="network",
+                             project=self.project)(obs))
 
 
 class EMLPCriticTwin(nn.Module):
@@ -117,19 +120,23 @@ class EMLPCriticTwin(nn.Module):
     hidden: SumRep
     rep_out: SumRep
     hidden_num: int = 2
+    project: bool = True
 
     @nn.compact
     def __call__(self, obs, act):
         x = jnp.concatenate([obs, act], axis=-1)
         reps = (self.rep_in,) + (self.hidden,) * self.hidden_num
-        q1 = EMLP(reps, self.rep_out, name="network1")(x)
-        q2 = EMLP(reps, self.rep_out, name="network2")(x)
+        q1 = EMLP(reps, self.rep_out, name="network1",
+                  project=self.project)(x)
+        q2 = EMLP(reps, self.rep_out, name="network2",
+                  project=self.project)(x)
         return q1, q2
 
     def q1(self, obs, act):
         x = jnp.concatenate([obs, act], axis=-1)
         reps = (self.rep_in,) + (self.hidden,) * self.hidden_num
-        return EMLP(reps, self.rep_out, name="network1")(x)
+        return EMLP(reps, self.rep_out, name="network1",
+                    project=self.project)(x)
 
 
 class EMLPActorSAC(nn.Module):
@@ -140,14 +147,17 @@ class EMLPActorSAC(nn.Module):
     rep_out: SumRep
     action_dim: int
     hidden_num: int = 2
+    project: bool = True
 
     @nn.compact
     def __call__(self, obs):
         x = obs
         reps = (self.rep_in,) + (self.hidden,) * self.hidden_num
         for i, (rin, rout) in enumerate(zip(reps, reps[1:])):
-            x = EMLPBlock(rin, rout, name=f"network_block{i}")(x)
-        mean = EquivLinear(reps[-1], self.rep_out, name="network_head")(x)
+            x = EMLPBlock(rin, rout, name=f"network_block{i}",
+                          project=self.project)(x)
+        mean = EquivLinear(reps[-1], self.rep_out, name="network_head",
+                           project=self.project)(x)
         log_std = nn.Dense(self.action_dim, name="log_std_linear")(x)
         log_std = jnp.clip(log_std, LOG_SIG_MIN, LOG_SIG_MAX)
         return mean, log_std
@@ -162,11 +172,13 @@ class EMLPActorPPO(nn.Module):
     action_dim: int
     hidden_num: int = 2
     log_std_init: float = 0.0
+    project: bool = True
 
     @nn.compact
     def __call__(self, obs):
         reps = (self.rep_in,) + (self.hidden,) * self.hidden_num
-        mean = jnp.tanh(EMLP(reps, self.rep_out, name="network")(obs))
+        mean = jnp.tanh(EMLP(reps, self.rep_out, name="network",
+                             project=self.project)(obs))
         log_std = self.param(
             "log_std",
             lambda k, s: jnp.full(s, self.log_std_init, jnp.float32),
@@ -180,49 +192,61 @@ class EMLPVCritic(nn.Module):
     hidden: SumRep
     rep_out: SumRep
     hidden_num: int = 2
+    project: bool = True
 
     @nn.compact
     def __call__(self, obs):
         reps = (self.rep_in,) + (self.hidden,) * self.hidden_num
-        return EMLP(reps, self.rep_out, name="network")(obs)
+        return EMLP(reps, self.rep_out, name="network",
+                    project=self.project)(obs)
 
 
 # ----------------------------------------------------------------------------
 # Factories (ModelDefs used by the algos)
 # ----------------------------------------------------------------------------
+def _with_fold(actor_def, critic_def, a_in, c_in, critic_is_q=True):
+    """Populate ModelDefs with the project=False twins + fold fns.
+
+    The fold tracer only needs inputs whose concatenation matches rep_in
+    (the param tree is shape-determined by the reps alone), so the Q-critic
+    sample splits rep_in.size as (size-1, 1)."""
+    a_obs = jnp.zeros((1, a_in.size), jnp.float32)
+    if critic_is_q:
+        c_args = (jnp.zeros((1, c_in.size - 1), jnp.float32),
+                  jnp.zeros((1, 1), jnp.float32))
+    else:
+        c_args = (jnp.zeros((1, c_in.size), jnp.float32),)
+    return dict(
+        actor_def=actor_def, critic_def=critic_def,
+        actor_spectral=spectral_weights, critic_spectral=spectral_weights,
+        actor_fast=fast_twin(actor_def), critic_fast=fast_twin(critic_def),
+        actor_fold=make_fold_fn(actor_def, a_obs),
+        critic_fold=make_fold_fn(critic_def, *c_args),
+    )
+
+
 def td3_models(cfg: Config, agent_id: int) -> ModelDefs:
     a_in, a_hid, a_out = actor_reps(cfg, cfg.framework, agent_id)
     c_in, c_hid, c_out = critic_reps(cfg, cfg.framework, agent_id,
                                      cfg.module_training)
-    return ModelDefs(
-        actor_def=EMLPActorDet(a_in, a_hid, a_out),
-        critic_def=EMLPCriticTwin(c_in, c_hid, c_out),
-        actor_spectral=spectral_weights,
-        critic_spectral=spectral_weights,
-    )
+    return ModelDefs(**_with_fold(
+        EMLPActorDet(a_in, a_hid, a_out),
+        EMLPCriticTwin(c_in, c_hid, c_out), a_in, c_in))
 
 
 def sac_models(cfg: Config, agent_id: int) -> ModelDefs:
     a_in, a_hid, a_out = actor_reps(cfg, cfg.framework, agent_id)
     c_in, c_hid, c_out = critic_reps(cfg, cfg.framework, agent_id,
                                      cfg.module_training)
-    return ModelDefs(
-        actor_def=EMLPActorSAC(a_in, a_hid, a_out,
-                               cfg.action_dim_n[agent_id]),
-        critic_def=EMLPCriticTwin(c_in, c_hid, c_out),
-        actor_spectral=spectral_weights,
-        critic_spectral=spectral_weights,
-    )
+    return ModelDefs(**_with_fold(
+        EMLPActorSAC(a_in, a_hid, a_out, cfg.action_dim_n[agent_id]),
+        EMLPCriticTwin(c_in, c_hid, c_out), a_in, c_in))
 
 
 def ppo_models(cfg: Config, agent_id: int) -> ModelDefs:
     a_in, a_hid, a_out = actor_reps(cfg, cfg.framework, agent_id)
     c_in, c_hid, c_out = v_critic_reps(cfg, cfg.framework, agent_id,
                                        cfg.module_training)
-    return ModelDefs(
-        actor_def=EMLPActorPPO(a_in, a_hid, a_out,
-                               cfg.action_dim_n[agent_id]),
-        critic_def=EMLPVCritic(c_in, c_hid, c_out),
-        actor_spectral=spectral_weights,
-        critic_spectral=spectral_weights,
-    )
+    return ModelDefs(**_with_fold(
+        EMLPActorPPO(a_in, a_hid, a_out, cfg.action_dim_n[agent_id]),
+        EMLPVCritic(c_in, c_hid, c_out), a_in, c_in, critic_is_q=False))

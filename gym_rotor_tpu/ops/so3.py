@@ -69,14 +69,36 @@ def psvd(A):
     """Proper SVD with det-sign correction.  (reference quad_utils.py:226-240)
 
     Returns (U, s, V) such that A = U diag(s) Vᵀ with det(U)=det(V)=+1.
+
+    Non-convergence handling: the reference catches LinAlgError, perturbs A
+    with N(0, 1e-6) noise, and retries once (quad_utils.py:229-233).  XLA's
+    SVD signals failure through NaNs instead of raising, so the TPU-native
+    equivalent detects non-finite factors and substitutes a second
+    decomposition of a perturbed matrix; the perturbation draws from a fixed
+    key (documented divergence: the reference uses the global NumPy RNG).
+    Not a hot-path op (repair/render/diagnostics only).
     """
-    U, s, Vh = jnp.linalg.svd(A)
+    U, s, Vh = _svd_with_retry(A)
     detU = jnp.linalg.det(U)
     detV = jnp.linalg.det(Vh)  # det(Vh) == det(V)
     U = U.at[..., :, 2].multiply(detU[..., None])
     Vh = Vh.at[..., 2, :].multiply(detV[..., None])
     s = s.at[..., 2].multiply(detU * detV)
     return U, s, jnp.swapaxes(Vh, -1, -2)
+
+
+def _svd_with_retry(A):
+    U, s, Vh = jnp.linalg.svd(A)
+    # per-matrix failure mask so a single bad element of a batch doesn't
+    # perturb the others
+    bad = ~(jnp.isfinite(U).all(axis=(-2, -1))
+            & jnp.isfinite(s).all(axis=-1)
+            & jnp.isfinite(Vh).all(axis=(-2, -1)))
+    noise = 1e-6 * jax.random.normal(jax.random.PRNGKey(0), A.shape, A.dtype)
+    U2, s2, Vh2 = jnp.linalg.svd(A + noise)
+    m2 = bad[..., None, None]
+    return (jnp.where(m2, U2, U), jnp.where(bad[..., None], s2, s),
+            jnp.where(m2, Vh2, Vh))
 
 
 def project_so3_svd(R):

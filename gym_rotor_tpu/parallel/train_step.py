@@ -67,7 +67,7 @@ def _episode_stats(axis, ep_ret, rewards, resets):
 
 def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
                                rollout_len: int = 1, n_updates: int = 1,
-                               train_fn=None, act_fn=None):
+                               train_fn=None, act_fn=None, act_prep=None):
     """Build the jitted sharded off-policy superstep.
 
     Returns ``step(bstate, obs, replay, states, ep_ret, key, noise_std,
@@ -77,8 +77,11 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
     no learner updates (reference start_timesteps warmup, main.py:154-155);
     its metrics carry only the episode statistics.
 
-    ``act_fn(states, obs_tuple, noise_std, key) -> joint action`` overrides
-    the default TD3 noisy-deterministic policy (e.g. SAC sampling).
+    ``act_fn(act_state, obs_tuple, noise_std, key) -> joint action`` overrides
+    the default TD3 noisy-deterministic policy (e.g. SAC sampling), where
+    ``act_state = act_prep(states)`` (default: the states list) is computed
+    ONCE per rollout chunk outside the tick scan — the hook where
+    cfg.equiv_fold folds the actors' equivariant projection per chunk.
     """
     axis = cfg.mesh_axis
     train_fn = train_fn or td3_lib.train_step
@@ -105,6 +108,18 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         k_roll, k_upd = jax.random.split(key)
 
+        # Fold the actors' equivariant projection ONCE per rollout chunk,
+        # outside the tick scan (identity when cfg.equiv_fold is off) —
+        # guarantees the projection is loop-invariant instead of relying on
+        # XLA to hoist it out of the scan body.
+        if warm:
+            act_state = None
+        elif act_fn is not None:
+            act_state = act_prep(states) if act_prep is not None else states
+        else:
+            act_state = [a.fold_actor(states[i].actor)
+                         for i, a in enumerate(agents)]
+
         def policy(ps, ob, k):
             if warm:
                 return jax.random.uniform(
@@ -114,11 +129,12 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
             acts = []
             for i, agent in enumerate(agents):
                 k, sub = jax.random.split(k)
-                acts.append(agent.choose_action(ps[i], ob[i], noise_std, sub))
+                acts.append(agent.choose_action_f(ps[i], ob[i],
+                                                  noise_std, sub))
             return jnp.concatenate(acts, axis=-1)
 
         bstate, obs, trs, outs = batch_lib.rollout(
-            cfg, bstate, obs, k_roll, policy, states, rollout_len)
+            cfg, bstate, obs, k_roll, policy, act_state, rollout_len)
         rstate = replay_lib.insert_rollout(rstate, trs)
 
         ep_ret, fin_sum, fin_cnt = _episode_stats(
@@ -197,12 +213,16 @@ def make_sharded_ppo_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         k_roll, k_upd = jax.random.split(key)
 
+        # fold the actors once per horizon segment, outside the tick scan
+        folded_actors = [a.fold_actor(states[i].actor)
+                         for i, a in enumerate(agents)]
+
         def scan_body(carry, k):
             bs, ob = carry
             acts, logps = [], []
             for i, agent in enumerate(agents):
                 k, sub = jax.random.split(k)
-                a, lp = agent.choose_action(states[i], ob[i], sub)
+                a, lp = agent.choose_action_f(folded_actors[i], ob[i], sub)
                 acts.append(a)
                 logps.append(lp)
             bs, out = batch_lib.batched_step(

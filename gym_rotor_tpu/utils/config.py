@@ -57,6 +57,12 @@ class Config:
     # -- agent (reference args_parse.py:38-47)
     rl_algo: str = "TD3"              # "TD3" | "SAC" | "PPO"
     use_equiv: bool = True
+    # Fold the equivariant projection once per use-site instead of on every
+    # forward (SURVEY §7.5).  Forward-bitwise-identical to the reference's
+    # project-every-forward semantics (nn.py:26-36); gradients agree up to fp
+    # summation order where one fold fans out to several forwards (CAPS,
+    # CTDE, rollout acting).  Opt-in: default keeps exact reference autodiff.
+    equiv_fold: bool = False
     actor_hidden_dim: Tuple[int, ...] = (16, 4)
     critic_hidden_dim: int = 62
     lr_a: Tuple[float, ...] = (3e-4, 3e-4)

@@ -1,6 +1,8 @@
 """Protocol smoke for bench.py: the driver parses its single JSON line at
-round end, so the measurement loop and output schema must not regress.
-Runs the real measurement path on CPU with a tiny env batch."""
+round end, so the measurement loop and output schema must not regress —
+INCLUDING on failure (round-2 regression: a wedged TPU backend produced a
+traceback and rc=1 instead of a parseable error line).  Runs the real
+measurement path on CPU with a tiny env batch."""
 import io
 import json
 import os
@@ -12,15 +14,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 
-def test_bench_json_protocol():
+def _run_main(argv):
     buf = io.StringIO()
     with redirect_stdout(buf):
-        bench.main(["--num_envs", "8"])
+        bench.main(argv)
     lines = [l for l in buf.getvalue().strip().splitlines() if l]
     assert len(lines) == 1, lines
-    rec = json.loads(lines[0])
+    return json.loads(lines[0])
+
+
+def test_bench_json_protocol():
+    rec = _run_main(["--num_envs", "8", "--skip_probe"])
     assert rec["metric"] == "env_steps_per_sec"
     assert rec["unit"] == "steps/s"
     assert rec["num_envs"] == 8
     assert rec["value"] > 0
     assert rec["vs_baseline"] == rec["value"] / bench.TARGET
+
+
+def test_bench_emits_error_line_on_crash(monkeypatch):
+    """Any exception inside the measurement still yields ONE parseable line."""
+    def boom(args):
+        raise RuntimeError("synthetic backend wedge")
+    monkeypatch.setattr(bench, "_run_bench", boom)
+    rec = _run_main(["--num_envs", "8", "--skip_probe"])
+    assert rec["metric"] == "env_steps_per_sec"
+    assert rec["value"] == 0.0
+    assert rec["vs_baseline"] == 0.0
+    assert "synthetic backend wedge" in rec["error"]
+
+
+def test_bench_emits_error_line_on_probe_failure(monkeypatch):
+    """An unrecoverable probe (wedged first compile) yields an error line,
+    not a hang or traceback."""
+    monkeypatch.setattr(bench, "_probe_backend",
+                        lambda **kw: "probe compile timed out after 180s")
+    rec = _run_main(["--num_envs", "8"])
+    assert rec["value"] == 0.0
+    assert "probe" in rec["error"]
+
+
+def test_probe_subprocess_succeeds_on_cpu(monkeypatch):
+    """The real probe subprocess path, forced onto CPU (the axon plugin
+    overrides JAX_PLATFORMS, so the probe reads GYM_ROTOR_PROBE_PLATFORM and
+    applies it via jax.config post-import).  Exercises the subprocess
+    machinery — timeout plumbing, rc/stdout checks — with a healthy
+    backend."""
+    monkeypatch.setenv("GYM_ROTOR_PROBE_PLATFORM", "cpu")
+    err = bench._probe_backend(attempts=1, timeout_s=240.0)
+    assert err is None, err

@@ -72,6 +72,48 @@ def test_sharded_warm_variant_skips_updates():
     assert np.isfinite(float(metrics["mean_reward"]))
 
 
+def test_sharded_sac_superstep_runs():
+    """SAC inside the off-policy superstep: sampled-action act_fn (folded
+    once per chunk via act_prep) + sac train_fn with pmean'd gradients
+    (reference sac.py:108-223 semantics at scale)."""
+    from gym_rotor_tpu.algos import sac as sac_lib
+    from gym_rotor_tpu.models import sac_models
+
+    cfg = Config(framework="MODUL", module_training="DTDE", rl_algo="SAC",
+                 use_equiv=False, num_envs=16, replay_buffer_size=512,
+                 batch_size=32, max_steps=64, automatic_entropy_tuning=True)
+    mesh = mesh_lib.make_mesh(8)
+    agents = [sac_lib.SACAgent(cfg, i, sac_models(cfg, i)) for i in range(2)]
+    states = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(agents)]
+    states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
+    bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(0))
+    ep_ret = init_ep_ret(cfg, mesh)
+
+    def act_prep(sts):
+        return [a.fold_actor(sts[i].actor) for i, a in enumerate(agents)]
+
+    def act_fn(folded, ob, noise_std, k):
+        acts = []
+        for i, a in enumerate(agents):
+            k, sub = jax.random.split(k)
+            acts.append(a.choose_action_f(folded[i], ob[i], sub))
+        return jnp.concatenate(acts, axis=-1)
+
+    step = make_sharded_td3_superstep(
+        cfg, agents, mesh, rollout_len=4, n_updates=2,
+        train_fn=sac_lib.train_step, act_fn=act_fn, act_prep=act_prep)
+    for it in range(2):
+        bstate, obs, rstate, states, ep_ret, metrics = step(
+            bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(30 + it),
+            0.1)
+    assert np.isfinite(float(metrics["agent0/critic_loss"]))
+    assert np.isfinite(float(metrics["agent0/alpha"]))
+    assert int(states[0].total_it) == 2 * 2
+    assert int(rstate.filled) == 2 * 4 * 2
+    w = jax.tree.leaves(states[0].actor)[0]
+    assert np.isfinite(np.asarray(w)).all()
+
+
 def test_sharded_ppo_superstep_runs():
     """On-policy superstep: T_horizon rollout + GAE + K-epoch minibatches
     with pmean'd gradients, all inside one shard_map program."""

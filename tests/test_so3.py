@@ -120,3 +120,74 @@ def test_integral_helpers_match_reference_semantics():
         np.testing.assert_allclose(np.asarray(d.y_dot), (y - prev) / dt,
                                    rtol=1e-12)
         prev = y
+
+
+# ------------------------------------------------------------- psvd retry
+def test_psvd_healthy_path_unperturbed():
+    """On convergent inputs the retry machinery must be a no-op: psvd
+    factors reconstruct A and are proper (det +1)."""
+    import jax
+    from gym_rotor_tpu.ops import so3
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(rng.normal(size=(8, 3, 3)))
+    U, s, V = so3.psvd(A)
+    recon = U @ (s[..., None] * jnp.swapaxes(V, -1, -2))
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(A), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.det(U)), 1.0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.det(V)), 1.0, atol=1e-10)
+
+
+def test_psvd_retry_substitutes_perturbed_decomposition():
+    """When the primary SVD yields non-finite factors, the per-matrix retry
+    must swap in the perturbed decomposition for that element only
+    (reference quad_utils.py:229-233 semantics under XLA's NaN signaling)."""
+    from gym_rotor_tpu.ops import so3
+    rng = np.random.default_rng(6)
+    A = jnp.asarray(rng.normal(size=(4, 3, 3)))
+    U0, s0, Vh0 = jnp.linalg.svd(A)
+    # simulate non-convergence of element 2 (XLA reports it via NaNs)
+    U_bad = U0.at[2].set(jnp.nan)
+    calls = {"n": 0}
+    real_svd = jnp.linalg.svd
+
+    def fake_svd(M, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return U_bad, s0, Vh0
+        return real_svd(M, *a, **k)
+
+    orig = so3.jnp.linalg.svd
+    so3.jnp.linalg.svd = fake_svd
+    try:
+        U, s, Vh = so3._svd_with_retry(A)
+    finally:
+        so3.jnp.linalg.svd = orig
+    assert np.isfinite(np.asarray(U)).all()
+    # untouched elements keep the primary factors bitwise
+    np.testing.assert_array_equal(np.asarray(U[0]), np.asarray(U0[0]))
+    # the failed element reconstructs A[2] to the perturbation scale
+    recon2 = U[2] @ (s[2][:, None] * Vh[2])
+    np.testing.assert_allclose(np.asarray(recon2), np.asarray(A[2]),
+                               atol=1e-4)
+
+
+def test_oracle_psvd_retry_on_linalg_error(monkeypatch):
+    """The NumPy oracle mirrors the reference's try/except retry
+    (quad_utils.py:226-240)."""
+    from gym_rotor_tpu.envs import oracle
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(3, 3))
+    calls = {"n": 0}
+    real = np.linalg.svd
+
+    def flaky(M, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise np.linalg.LinAlgError("SVD did not converge")
+        return real(M, *a, **k)
+
+    monkeypatch.setattr(np.linalg, "svd", flaky)
+    U, s, V = oracle.psvd(A.copy())
+    assert calls["n"] == 2
+    recon = U @ np.diag(s) @ V.T
+    np.testing.assert_allclose(recon, A, atol=1e-4)

@@ -340,20 +340,28 @@ class Learner:
             rl = max(cfg.rollout_len, 1)
             n_updates = max(int(round(cfg.updates_per_step * rl)), 1)
             act_fn = None
+            act_prep = None
             train_fn = None
             if cfg.rl_algo == "SAC":
                 train_fn = sac_lib.train_step
 
-                def act_fn(states, ob, noise_std, k):
+                def act_prep(states):
+                    # fold the actors once per rollout chunk (identity when
+                    # cfg.equiv_fold is off)
+                    return [a.fold_actor(states[i].actor)
+                            for i, a in enumerate(self.agents)]
+
+                def act_fn(folded_actors, ob, noise_std, k):
                     acts = []
                     for i, a in enumerate(self.agents):
                         k, sub = jax.random.split(k)
-                        acts.append(a.choose_action(states[i], ob[i], sub))
+                        acts.append(a.choose_action_f(folded_actors[i],
+                                                      ob[i], sub))
                     return jnp.concatenate(acts, axis=-1)
 
             step = make_sharded_td3_superstep(
                 cfg, self.agents, mesh, rollout_len=rl, n_updates=n_updates,
-                train_fn=train_fn, act_fn=act_fn)
+                train_fn=train_fn, act_fn=act_fn, act_prep=act_prep)
         else:
             # on-policy: one superstep = exactly one T_horizon segment
             rl = max(cfg.T_horizon // cfg.num_envs, 1)
