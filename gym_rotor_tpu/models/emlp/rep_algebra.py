@@ -20,9 +20,14 @@ meant to be baked into jitted layers as constants (SURVEY.md §7.5) — on TPU
 there is nothing to gain from laziness at these sizes, and constants let XLA
 fold the projection into the matmul.  Divergences:
 
-* solver is dense SVD only (``orthogonal_complement``, reps/utils.py:87-91);
-  the reference's iterative Krylov path for constraint matrices > 3e7
-  entries (representation.py:113-114) is out of scope — we raise instead.
+* the small-rep solver is dense SVD (``orthogonal_complement``,
+  reps/utils.py:87-91); constraint matrices > 3e7 entries fall back to the
+  matrix-free iterative solve (``iterative_constraint_solve``, mirroring the
+  reference's ``krylov_constraint_solve``, reps/utils.py:94-170) with the
+  constraint applied blockwise — Kronecker-structured for ProductRep — so
+  the dense C is never materialized.  The SGD inner loop runs jitted on the
+  host CPU backend; W0 is drawn from a seeded RNG (the reference uses an
+  unseeded ``torch.randn``) and the tqdm progress bar is omitted.
 * canonical ordering sorts groups by ``repr`` (deterministic) where the
   reference sorts by salted ``hash`` (groups.py:121-123, varies per process).
 * ``ScalarRep.__call__(G)``/``Base.__call__(G)`` return new objects; the
@@ -42,7 +47,7 @@ from scipy.linalg import expm
 from .groups import Group
 
 NULLSPACE_TOL = 1e-5       # reps/utils.py:90
-MAX_DENSE_ENTRIES = 3e7    # representation.py:113 — beyond this we refuse
+MAX_DENSE_ENTRIES = 3e7    # representation.py:113 — beyond this, go iterative
 
 # Module-level solution cache, keyed by canonicalized rep
 # (representation.py:99 ``Rep.solcache``).
@@ -57,6 +62,117 @@ def orthogonal_complement(C: np.ndarray) -> np.ndarray:
     _, S, VH = np.linalg.svd(C, full_matrices=True)
     rank = int((S > NULLSPACE_TOL).sum())
     return VH[rank:].conj().T
+
+
+class ConvergenceError(Exception):
+    """Iterative constraint solve failed to converge (reps/utils.py:173)."""
+
+
+def iterative_constraint_solve(rep: "Rep", tol: float = NULLSPACE_TOL,
+                               seed: int = 0) -> np.ndarray:
+    """Matrix-free null-space solve for constraint matrices too large to
+    densify: momentum-SGD on ‖CW‖²/2 with iterative rank doubling, the
+    reference's ``krylov_constraint_solve`` (reps/utils.py:94-109).  C is
+    never materialized — each constraint block is applied through
+    ``rep.constraint_ops()`` (Kronecker-structured for ProductRep)."""
+    n = rep.size()
+    r = 5
+    if n * r * 2 > 2e9:  # reps/utils.py:98
+        raise RuntimeError(
+            f"Solns for constraints on rep of size {n} too large to fit "
+            "in memory")
+    found_rank = 5
+    Q = None
+    while found_rank == r:
+        r *= 2  # iterative doubling until the full solution space fits
+        if n * r > 2e9:  # reps/utils.py:103-106
+            import logging
+            logging.error("Hit memory limits, switching to sample "
+                          "equivariant subspace of size %r", found_rank)
+            break
+        Q = _iterative_solve_upto_r(rep, r, tol, seed=seed)
+        found_rank = Q.shape[-1]
+    return Q
+
+
+def _iterative_solve_upto_r(rep: "Rep", r: int, tol: float,
+                            lr: float = 1e-2, seed: int = 0) -> np.ndarray:
+    """Solve CQ=0, QᴴQ=I up to rank r: the reference's
+    ``krylov_constraint_solve_upto_r`` (reps/utils.py:112-170).  Gradient is
+    computed analytically (∂/∂W̄ of ½Σ‖BW‖² is ΣBᴴ(BW)), the SGD loop runs
+    in jitted chunks on the host CPU backend, and W0 is seeded."""
+    import jax
+    import jax.numpy as jnp
+
+    ops = rep.constraint_ops()
+    n = rep.size()
+    rng = np.random.default_rng((seed, r))
+    # Probe one block to learn the constraint dtype (U/SU are complex).
+    probe = ops[0][0](np.ones((n, 1)))
+    W = rng.standard_normal((n, r)) / np.sqrt(n)  # reps/utils.py:116
+    if np.iscomplexobj(probe):
+        W = W + 1j * rng.standard_normal((n, r)) / np.sqrt(n)
+    cpu = jax.devices("cpu")[0]
+
+    def loss_grad(W):
+        L = 0.0
+        g = None
+        for apply_, applyH in ops:
+            BW = apply_(W)
+            L = L + 0.5 * jnp.sum(jnp.abs(BW) ** 2)  # reps/utils.py:120-122
+            gi = applyH(BW)
+            g = gi if g is None else g + gi
+        return L, g
+
+    CHUNK = 250
+
+    @jax.jit
+    def run_chunk(W, V, step_lr):
+        def body(_, carry):
+            W, V, _ = carry
+            L, g = loss_grad(W)
+            V = 0.9 * V + g          # torch.optim.SGD(momentum=.9), :118
+            W = W - step_lr * V
+            return W, V, L
+        L0 = jnp.asarray(jnp.inf, dtype=jnp.real(W).dtype)
+        return jax.lax.fori_loop(0, CHUNK, body, (W, V, L0))
+
+    with jax.default_device(cpu):
+        W = jnp.asarray(W)
+        V = jnp.zeros_like(W)
+        converged = False
+        for it in range(0, 20000, CHUNK):  # reps/utils.py:131
+            W, V, L = run_chunk(W, V, lr)
+            Lval = float(L)
+            if np.sqrt(Lval) < tol:  # reps/utils.py:143
+                converged = True
+                break
+            if Lval > 2e3 and it > 100:  # diverged: lower lr, :146-151
+                if lr < 1e-4:
+                    raise ConvergenceError(
+                        f"Failed to converge even with smaller learning "
+                        f"rate {lr:.2e}")
+                return _iterative_solve_upto_r(rep, r, tol, lr=lr / 3,
+                                               seed=seed)
+        if not converged:
+            raise ConvergenceError("Failed to converge.")
+
+    W = np.asarray(W)
+    # Orthogonalize the converged solution (reps/utils.py:158-170).
+    U, S, _ = np.linalg.svd(W, full_matrices=False)
+    rank = int((S > 10 * tol).sum())
+    Q = U[:, :rank]
+    final_L = sum(0.5 * np.sum(np.abs(np.asarray(a(Q))) ** 2)
+                  for a, _ in ops)
+    if final_L > tol:
+        import logging
+        logging.warning("Normalized basis has too high error %.2e for "
+                        "tol %.2e", final_L, tol)
+    scutoff = S[rank] if r > rank else 0
+    assert rank == 0 or scutoff < S[rank - 1] / 100, (
+        f"Singular value gap too small: {S[rank - 1]:.2e} above cutoff "
+        f"{scutoff:.2e} below cutoff. Final L {final_L:.2e}")
+    return Q
 
 
 def _as_matrix(M, G: Optional[Group]):
@@ -118,21 +234,47 @@ class Rep:
             return np.zeros((1, n))
         return np.concatenate([np.asarray(r) for r in rows], axis=0)
 
+    def constraint_ops(self):
+        """Blockwise constraint application: a list of ``(apply, applyH)``
+        pairs, one per generator, such that stacking ``apply`` over blocks
+        equals ``constraint_matrix() @ ·`` — the matrix-free form consumed
+        by ``iterative_constraint_solve``.  Default densifies each block
+        (n x n per generator, never the stacked C); ProductRep overrides
+        with Kronecker-structured applies."""
+        ops = []
+        for h in self.G.discrete_generators:
+            R = np.asarray(self.rho(h))
+            RH = R.conj().T
+            ops.append((lambda X, R=R: R @ X - X,
+                        lambda Y, RH=RH: RH @ Y - Y))
+        for A in self.G.lie_algebra:
+            D = np.asarray(self.drho(A))
+            DH = D.conj().T
+            ops.append((lambda X, D=D: D @ X,
+                        lambda Y, DH=DH: DH @ Y))
+        return ops
+
+    def _constraint_entries(self) -> int:
+        """Dense size of ``constraint_matrix()`` without building it."""
+        n = self.size()
+        n_gen = len(self.G.discrete_generators) + len(self.G.lie_algebra)
+        return n_gen * n * n
+
     def equivariant_basis(self) -> np.ndarray:
         """Invariant-subspace basis Q (N, r), canonicalized + cached
-        (representation.py:101-119)."""
+        (representation.py:101-119).  Small constraints solve densely;
+        past MAX_DENSE_ENTRIES the matrix-free iterative solver takes over
+        (representation.py:113-114)."""
         if self == Scalar:
             return np.ones((1, 1))
         canon_rep, perm = self.canonicalize()
         invperm = np.argsort(perm)
         if canon_rep not in solcache:
-            C = canon_rep.constraint_matrix()
-            if C.shape[0] * C.shape[1] > MAX_DENSE_ENTRIES:
-                raise ValueError(
-                    f"constraint matrix {C.shape} too large for the dense "
-                    "solver; the reference's Krylov fallback "
-                    "(representation.py:113-114) is out of scope")
-            solcache[canon_rep] = orthogonal_complement(C)
+            if canon_rep._constraint_entries() > MAX_DENSE_ENTRIES:
+                solcache[canon_rep] = iterative_constraint_solve(canon_rep)
+            else:
+                solcache[canon_rep] = orthogonal_complement(
+                    canon_rep.constraint_matrix())
         return solcache[canon_rep][invperm]
 
     def equivariant_projector(self) -> np.ndarray:
@@ -569,6 +711,40 @@ def _kronsum_all(mats: Sequence[np.ndarray]) -> np.ndarray:
     return out
 
 
+def _xp_of(X):
+    """NumPy for host arrays, jax.numpy for traced/jax arrays — lazily
+    imported so merely importing this module never touches a backend."""
+    if isinstance(X, np.ndarray):
+        return np
+    import jax.numpy as jnp
+    return jnp
+
+
+def _kron_apply(mats: Sequence[np.ndarray], X):
+    """kron(mats) @ X for X of shape (prod d_i, r) without materializing
+    the Kronecker product: contract each factor along its own axis."""
+    xp = _xp_of(X)
+    r = X.shape[-1]
+    dims = tuple(m.shape[1] for m in mats)
+    T = X.reshape(dims + (r,))
+    for i, M in enumerate(mats):
+        T = xp.moveaxis(xp.tensordot(M, T, axes=((1,), (i,))), 0, i)
+    return T.reshape(-1, r)
+
+
+def _kronsum_apply(mats: Sequence[np.ndarray], X):
+    """(sum_i I⊗…⊗A_i⊗…⊗I) @ X, matrix-free."""
+    xp = _xp_of(X)
+    r = X.shape[-1]
+    dims = tuple(m.shape[1] for m in mats)
+    T = X.reshape(dims + (r,))
+    out = None
+    for i, M in enumerate(mats):
+        term = xp.moveaxis(xp.tensordot(M, T, axes=((1,), (i,))), 0, i)
+        out = term if out is None else out + term
+    return out.reshape(-1, r)
+
+
 class ProductRep(Rep):
     """Same-group tensor product ⊗ with canonical slot ordering
     (representation.py:655-761).  ``self.reps`` = {rep: power} sorted;
@@ -656,6 +832,33 @@ class ProductRep(Rep):
         K = _kronsum_all([r.drho(A) for r, c in self.reps.items()
                           for _ in range(c)])
         return K[self.invperm][:, self.invperm]
+
+    def constraint_ops(self):
+        """Kronecker-structured constraint applies: rho is kron(factors)
+        conjugated by ``perm``, so ``rho @ X == kron_apply(X[perm])[invperm]``
+        and the factors (each only d_i x d_i) are all that is ever
+        densified.  This is what makes the iterative fallback matrix-free
+        for the tensor-power reps whose constraints blow MAX_DENSE_ENTRIES
+        (the reference reaches the same effect with LazyKron operators,
+        representation.py:700-723)."""
+        factors = [r for r, c in self.reps.items() for _ in range(c)]
+        perm, invperm = self.perm, self.invperm
+        ops = []
+        for h in self.G.discrete_generators:
+            mats = [np.asarray(r.rho(h)) for r in factors]
+            matsH = [m.conj().T for m in mats]
+            ops.append((
+                lambda X, mats=mats: _kron_apply(mats, X[perm])[invperm] - X,
+                lambda Y, matsH=matsH:
+                    _kron_apply(matsH, Y[perm])[invperm] - Y))
+        for A in self.G.lie_algebra:
+            dmats = [np.asarray(r.drho(A)) for r in factors]
+            dmatsH = [m.conj().T for m in dmats]
+            ops.append((
+                lambda X, dmats=dmats: _kronsum_apply(dmats, X[perm])[invperm],
+                lambda Y, dmatsH=dmatsH:
+                    _kronsum_apply(dmatsH, Y[perm])[invperm]))
+        return ops
 
     def t(self):
         return type(self)(*[r.t() for r, c in self.reps.items()

@@ -325,3 +325,92 @@ def test_golden_basis_vs_reference(ref_reps, case):
     assert Q_ref.shape == Q_ours.shape
     # reference solves in float32 → 1e-5 subspace tolerance
     assert subspace_gap(Q_ref, Q_ours) < 1e-5
+
+
+# ----------------------------------------------------------------------------
+# Iterative (matrix-free) constraint solver — the fallback past
+# MAX_DENSE_ENTRIES, mirroring the reference's krylov_constraint_solve
+# (/root/reference/algos/emlp_torch/reps/utils.py:94-170, routed from
+# representation.py:113-114).
+# ----------------------------------------------------------------------------
+
+from gym_rotor_tpu.models.emlp import rep_algebra as ra
+
+
+@pytest.mark.parametrize("mk", [
+    lambda: V(G.SO(3)) ** 3,            # ProductRep → Kronecker-structured ops
+    lambda: (V + V * V)(G.O(3)),        # SumRep → per-member default blocks
+    lambda: T(2, G=G.Z(5)),             # discrete generators only
+], ids=["so3_t3", "o3_sum", "z5_t2"])
+def test_constraint_ops_match_dense_blocks(mk):
+    """Stacked blockwise applies equal constraint_matrix() @ X, and each
+    (apply, applyH) pair is a true adjoint pair — the contract the
+    matrix-free solver relies on."""
+    canon, _ = mk().canonicalize()
+    C = canon.constraint_matrix()
+    X = np.random.default_rng(1).standard_normal((canon.size(), 3))
+    ops = canon.constraint_ops()
+    stacked = np.concatenate([np.asarray(a(X)) for a, _ in ops], axis=0)
+    assert np.abs(stacked - C @ X).max() < 1e-12
+    for a, aH in ops:
+        Y = np.asarray(a(X))
+        lhs = np.vdot(Y, Y)                       # <CX, CX>
+        rhs = np.vdot(X, np.asarray(aH(Y)))       # <X, Cᴴ(CX)>
+        assert abs(lhs - rhs) <= 1e-9 * max(1.0, abs(lhs))
+
+
+def test_iterative_matches_dense_span_real():
+    """SGD-on-‖CW‖² solve recovers the dense SVD null space (T(3), SO(3))."""
+    canon, _ = T(3, G=G.SO(3)).canonicalize()
+    Qd = ra.orthogonal_complement(canon.constraint_matrix())
+    Qi = ra.iterative_constraint_solve(canon)
+    assert Qd.shape == Qi.shape
+    assert subspace_gap(Qd, Qi) < 1e-4
+
+
+def test_iterative_matches_dense_span_complex():
+    """Complex constraint path (SU(2) has complex generators): the solver
+    draws a complex W0 and converges to the same subspace."""
+    canon, _ = T(2, G=G.SU(2)).canonicalize()
+    Qd = ra.orthogonal_complement(canon.constraint_matrix())
+    Qi = ra.iterative_constraint_solve(canon)
+    assert np.iscomplexobj(Qi)
+    assert Qd.shape == Qi.shape
+    assert subspace_gap(Qd, Qi) < 1e-4
+
+
+def test_iterative_routing_past_cap(monkeypatch):
+    """equivariant_basis switches to the iterative solver when the dense
+    constraint would exceed MAX_DENSE_ENTRIES (representation.py:113-114)
+    and still returns the same subspace, through canonicalization + perm."""
+    rep = T(4, G=G.SO(3))
+    solcache.clear()
+    Qd = rep.equivariant_basis()
+    solcache.clear()
+    monkeypatch.setattr(ra, "MAX_DENSE_ENTRIES", 1e3)
+    Qi = rep.equivariant_basis()
+    solcache.clear()
+    assert Qd.shape == Qi.shape
+    assert subspace_gap(Qd, Qi) < 1e-4
+
+
+@pytest.mark.skipif(os.environ.get("GYM_ROTOR_SLOW_TESTS") != "1",
+                    reason="~4 min; set GYM_ROTOR_SLOW_TESTS=1 to run")
+def test_iterative_over_cap_golden_t8_so3():
+    """Genuinely past the cap: T(8) over SO(3) is 6561-dim with a
+    1.29e8-entry constraint matrix (> 3e7).  The recovered basis dimension
+    must equal the Weyl-integration count
+    (1/π)∫(1+2cosθ)^8(1-cosθ)dθ = 91.  The measured run is recorded in
+    docs/bench/iterative_solver_t8.json."""
+    from scipy.integrate import quad
+    expected, _ = quad(
+        lambda t: (1 + 2 * np.cos(t)) ** 8 * (1 - np.cos(t)) / np.pi,
+        0, np.pi)
+    assert round(expected) == 91
+    canon, _ = T(8, G=G.SO(3)).canonicalize()
+    assert canon._constraint_entries() > ra.MAX_DENSE_ENTRIES
+    Q = canon.equivariant_basis()
+    solcache.clear()
+    assert Q.shape == (6561, 91)
+    res = max(np.abs(np.asarray(a(Q))).max() for a, _ in canon.constraint_ops())
+    assert res < 1e-8
