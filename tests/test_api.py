@@ -151,6 +151,33 @@ def test_renderer_animation(tmp_path):
         assert im.n_frames == 4
 
 
+def test_renderer_interactive_branch():
+    """Drive the ``interactive=True`` branch (the live-view equivalent of
+    the reference's VPython scene, quad.py:469-754).  No GUI backend exists
+    in this image, but ``plt.pause`` is backend-agnostic — under Agg it
+    draws then sleeps — so the branch's code path (pause-driven frame
+    cadence instead of an explicit canvas.draw) runs end-to-end and frames
+    must still advance."""
+    import time
+
+    from gym_rotor_tpu.render import Renderer
+
+    r = Renderer(interactive=True, fps=200, capture=True)
+    assert r.interactive
+    t0 = time.perf_counter()
+    for i in range(3):
+        r.draw(np.array([0.2 * i, 0.1 * i, -0.3]), np.eye(3), np.zeros(3),
+               np.array([1.0, 0, 0]))
+    elapsed = time.perf_counter() - t0
+    r.close()
+    # pause enforced the frame cadence (3 frames at 200 fps >= 15 ms)...
+    assert elapsed >= 3 / 200
+    # ...and the captured frames show the quad actually moving.
+    assert len(r.frames) == 3
+    a, b = np.asarray(r.frames[0]), np.asarray(r.frames[-1])
+    assert (a != b).any()
+
+
 @pytest.mark.skipif(not HAS_REF, reason="reference checkout not available")
 def test_decoupled_wrapper_parity_vs_reference(monkeypatch):
     """MODUL two-agent wrapper vs the actual reference (virtual moments +
