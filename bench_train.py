@@ -42,6 +42,10 @@ def main(argv=None):
                    help="update batch (0 = num_envs)")
     p.add_argument("--mlp", action="store_true",
                    help="bench MONO + plain MLP instead of MODUL + EMLP")
+    p.add_argument("--fold", action="store_true",
+                   help="fold the equivariant projection per optimizer step "
+                        "(cfg.equiv_fold) instead of projecting every "
+                        "forward (SURVEY §7.5)")
     p.add_argument("--warm", action="store_true",
                    help="measure the warm (rollout+replay only, no learner) "
                         "variant — the breakdown baseline")
@@ -57,7 +61,8 @@ def main(argv=None):
                      replay_buffer_size=1_000_000, max_steps=4000)
     else:
         cfg = Config(framework="MODUL", module_training="DTDE",
-                     use_equiv=True, num_envs=args.num_envs,
+                     use_equiv=True, equiv_fold=args.fold,
+                     num_envs=args.num_envs,
                      batch_size=batch, replay_buffer_size=1_000_000,
                      max_steps=4000)
 
@@ -108,6 +113,7 @@ def main(argv=None):
         "updates_per_superstep": n_updates,
         "update_batch": batch,
         "model": "MONO-MLP" if args.mlp else "MODUL-EMLP-DTDE",
+        "equiv_fold": bool(args.fold),
         "updates_per_sec": 0.0 if warm else rate / steps_per_call * n_updates,
         "warm_rollout_only": warm,
     }))

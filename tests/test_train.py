@@ -147,3 +147,21 @@ def test_resume_continues_from_checkpoint(tmp_path, monkeypatch):
     ])
     assert resumed.total_timesteps >= 192
     assert int(resumed.replay.filled) > 0
+
+def test_td3_emlp_fold_driver_smoke(tmp_path, monkeypatch):
+    """--equiv_fold True threads through config_from_args into the flagship
+    EMLP path end-to-end: warmup boundary crossed, learner updated, eval
+    fired.  (Function-equivalence of the fold itself is proven in
+    tests/test_fold.py; this guards the driver plumbing.)"""
+    learner = _run(tmp_path, monkeypatch, [
+        "--framework", "MODUL", "--rl_algo", "TD3",
+        "--use_equiv", "True", "--equiv_fold", "True",
+        "--max_timesteps", "128", "--start_timesteps", "32",
+        "--eval_freq", "64", "--updates_per_step", "1",
+    ])
+    assert learner.cfg.equiv_fold
+    assert learner.total_timesteps >= 128
+    assert int(learner.states[0].total_it) > 0
+    assert os.path.exists(tmp_path / "results" / "log_eval_seed_7.txt")
+    for leaf in jax.tree.leaves(learner.states[0].actor):
+        assert np.isfinite(np.asarray(leaf)).all()
