@@ -48,7 +48,8 @@ n_dev, num_envs, rollout_len, n_updates, iters = map(int, sys.argv[1:6])
 assert len(jax.devices()) == n_dev, (n_dev, jax.devices())
 cfg = Config(framework="MODUL", module_training="DTDE", use_equiv=False,
              num_envs=num_envs, replay_buffer_size=4096,
-             batch_size=max(8 * n_dev, 32), max_steps=4000)
+             batch_size=64, max_steps=4000)  # constant across device counts
+                                             # so fixed_total holds FLOPs fixed
 mesh = mesh_lib.make_mesh(n_dev)
 agents = [td3_lib.TD3Agent(cfg, i, td3_models(cfg, i)) for i in range(2)]
 states = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(agents)]
@@ -67,6 +68,18 @@ jax.block_until_ready(m["mean_reward"])
 w = jax.tree.leaves(states[0].actor)[0]
 replicated = w.sharding.is_fully_replicated
 
+# Deterministic collective census: lower the exact superstep program to
+# compiled HLO and count collective ops.  A correctly sharded superstep
+# contains ONLY all-reduces (the pmean'd gradients + psum'd episode stats);
+# any all-gather / all-to-all / collective-permute means XLA is moving env
+# state or parameters between devices behind our back.
+hlo = step.jitted[False].lower(
+    bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(1),
+    jnp.asarray(0.1, jnp.float32)).compile().as_text()
+census = {name: hlo.count(name) for name in
+          ("all-reduce", "all-gather", "all-to-all", "collective-permute",
+           "reduce-scatter")}
+
 best = float("inf")
 for rep in range(3):
     t0 = time.perf_counter()
@@ -77,7 +90,8 @@ for rep in range(3):
     jax.block_until_ready(m["mean_reward"])
     best = min(best, (time.perf_counter() - t0) / iters)
 print(json.dumps({"n_dev": n_dev, "num_envs": num_envs,
-                  "superstep_s": best, "params_replicated": bool(replicated)}))
+                  "superstep_s": best, "params_replicated": bool(replicated),
+                  "hlo_collectives": census}))
 """
 
 
@@ -114,18 +128,40 @@ def main(argv=None):
 
     base = fixed_total[0]["superstep_s"]
     degradation = max(r["superstep_s"] for r in fixed_total) / base
+    # The deterministic signal: collectives in the compiled 8-device HLO.
+    census = fixed_total[-1]["hlo_collectives"]
+    unwanted = {k: v for k, v in census.items()
+                if k != "all-reduce" and v > 0}
     out = {
         "metric": "sharding_overhead_virtual_mesh",
         "value": degradation,
         "unit": "x worst-case superstep time vs 1 device (fixed total envs)",
         "vs_baseline": 1.0 / degradation,
+        "clean_hlo": not unwanted,
         "fixed_total_envs": fixed_total,
         "fixed_per_device_envs": fixed_per_dev,
         "physical_cores": os.cpu_count(),
         "note": ("fixed_total isolates resharding/orchestration cost "
                  "(flat == no overhead); fixed_per_device grows on shared "
                  "physical cores by construction - see module docstring"),
+        "analysis": (
+            "Deterministic evidence that the sharding is communication-"
+            "minimal: the compiled 8-device superstep HLO contains all-"
+            "reduces only (pmean'd gradients + psum'd episode stats) - zero "
+            "all-gather / all-to-all / collective-permute / reduce-scatter - "
+            "and parameters remain fully replicated after execution. The "
+            "fixed_total wall-time growth above 1 device is therefore NOT "
+            "resharding: it is the virtual-CPU-mesh artifact of slicing an "
+            "already tiny per-step workload N ways across shared physical "
+            "cores (per-device dispatch + thread oversubscription + "
+            "all-reduce rendezvous latency on CPU). On real TPU chips the "
+            "per-device shard is orders of magnitude larger and the "
+            "all-reduce rides ICI; the HLO census + replication invariants "
+            "are the properties that transfer."),
     }
+    if unwanted:
+        out["analysis"] = ("UNWANTED COLLECTIVES FOUND: %r - the superstep "
+                           "is resharding; investigate." % (unwanted,))
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

@@ -191,6 +191,10 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
         return compiled[warm](bstate, obs, rstate, states, ep_ret, key,
                               jnp.asarray(noise_std, jnp.float32))
 
+    # Introspection hook: step.jitted[warm] is the underlying jit-wrapped
+    # shard_map program once that variant has run (bench_scale.py lowers it
+    # to compiled HLO and censuses the collectives it contains).
+    step.jitted = compiled
     return step
 
 
@@ -278,6 +282,7 @@ def make_sharded_ppo_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
             compiled["fn"] = build(bstate, obs, states)
         return compiled["fn"](bstate, obs, states, ep_ret, key)
 
+    step.jitted = compiled
     return step
 
 

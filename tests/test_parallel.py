@@ -156,3 +156,62 @@ def test_sharded_matches_single_device_structure():
                                   jax.random.PRNGKey(2), 0.2)
     assert jax.tree.structure(s2[0]) == jax.tree.structure(states[0])
     assert int(s2[0].total_it) == 1
+
+
+def _collective_census(compiled_text):
+    return {name: compiled_text.count(name) for name in
+            ("all-gather", "all-to-all", "collective-permute",
+             "reduce-scatter")}
+
+
+def test_superstep_hlo_contains_only_allreduces():
+    """Deterministic communication-minimality guard: the compiled sharded
+    supersteps (TD3 off-policy and PPO on-policy) must contain all-reduces
+    ONLY — the pmean'd gradients/metrics and psum'd episode stats.  Any
+    all-gather / all-to-all / collective-permute / reduce-scatter means env
+    state or parameters are being moved between devices behind our back
+    (accidental resharding), which is exactly the failure mode that would
+    sink BASELINE.md's near-linear multi-chip scaling."""
+    cfg = Config(framework="MODUL", module_training="DTDE", use_equiv=False,
+                 num_envs=16, replay_buffer_size=512, batch_size=32,
+                 max_steps=64)
+    mesh = mesh_lib.make_mesh(8)
+    agents = [td3_lib.TD3Agent(cfg, i, td3_models(cfg, i)) for i in range(2)]
+    states = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(agents)]
+    states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
+    bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(0))
+    ep_ret = init_ep_ret(cfg, mesh)
+    step = make_sharded_td3_superstep(cfg, agents, mesh, rollout_len=2,
+                                      n_updates=1)
+    out = step(bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(1),
+               0.1)
+    hlo = step.jitted[False].lower(
+        bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(1),
+        jnp.asarray(0.1, jnp.float32)).compile().as_text()
+    assert hlo.count("all-reduce") > 0          # grads/stats ARE reduced
+    assert _collective_census(hlo) == {
+        "all-gather": 0, "all-to-all": 0, "collective-permute": 0,
+        "reduce-scatter": 0}
+    # and parameters remain fully replicated after execution
+    w = jax.tree.leaves(out[3][0].actor)[0]
+    assert w.sharding.is_fully_replicated
+
+    pcfg = Config(framework="MODUL", module_training="DTDE", rl_algo="PPO",
+                  use_equiv=False, num_envs=16, max_steps=64,
+                  T_horizon=32, K_epochs=1, actor_batch_size=16,
+                  critic_batch_size=16)
+    pagents = [ppo_lib.PPOAgent(pcfg, i, ppo_models(pcfg, i))
+               for i in range(2)]
+    pstates = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(pagents)]
+    pstates = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in pstates]
+    pb, po, _ = sharded_init(pcfg, mesh, jax.random.PRNGKey(0),
+                             with_replay=False)
+    pep = init_ep_ret(pcfg, mesh)
+    pstep = make_sharded_ppo_superstep(pcfg, pagents, mesh, rollout_len=2)
+    pstep(pb, po, pstates, pep, jax.random.PRNGKey(3))
+    phlo = pstep.jitted["fn"].lower(
+        pb, po, pstates, pep, jax.random.PRNGKey(3)).compile().as_text()
+    assert phlo.count("all-reduce") > 0
+    assert _collective_census(phlo) == {
+        "all-gather": 0, "all-to-all": 0, "collective-permute": 0,
+        "reduce-scatter": 0}
