@@ -77,6 +77,29 @@ def insert(rs: ReplayState, obs_n, act_n, rwd_n, next_obs_n, done_n
     )
 
 
+def insert_tick(rs: ReplayState, obs_t: tuple, actions, reward, next_obs_t:
+                tuple, done) -> ReplayState:
+    """Insert ONE lockstep tick (B rows) straight from a rollout scan body.
+
+    Same ring content as stacking the rollout and calling
+    ``insert_rollout`` (bitwise — tests/test_algos.py), but fused into the
+    scan it skips materializing the (T, B, ...) transition stack in HBM
+    entirely: the staged path costs write-stack + read-stack +
+    scatter-write per element, this is the single scatter-write.  ``obs_t``
+    / ``next_obs_t`` are per-agent (B, d) tuples; ``actions`` is the joint
+    (B, sum(act_dims)) vector (split per agent like insert_rollout);
+    ``reward`` / ``done`` are (B, n_agents)."""
+    n = len(rs.obs)
+    act_n, off = [], 0
+    for a in rs.act:
+        d = a.shape[-1]
+        act_n.append(actions[..., off:off + d])
+        off += d
+    rwd_n = [reward[..., i] for i in range(n)]
+    done_n = [done[..., i] for i in range(n)]
+    return insert(rs, list(obs_t), act_n, rwd_n, list(next_obs_t), done_n)
+
+
 def insert_rollout(rs: ReplayState, trs) -> ReplayState:
     """Insert a time-major batch.Transition stack ((T, B, ...) per agent)."""
     def flat(x):

@@ -133,14 +133,28 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
                                                   noise_std, sub))
             return jnp.concatenate(acts, axis=-1)
 
-        bstate, obs, trs, outs = batch_lib.rollout(
-            cfg, bstate, obs, k_roll, policy, act_state, rollout_len)
-        rstate = replay_lib.insert_rollout(rstate, trs)
+        # Fused rollout -> ring insert: each tick scatter-writes its B rows
+        # straight into the replay ring inside the scan (bitwise the same
+        # ring as stacking + insert_rollout, tests/test_algos.py), skipping
+        # the (T, B, ...) transition stack in HBM — the staged path pays
+        # write-stack + read-stack + scatter per element, this pays only the
+        # scatter.  Only the small per-tick reward/reset rows stack.
+        def roll_body(carry, _):
+            bs, ob, rs, k = carry
+            k, sub = jax.random.split(k)
+            actions = policy(act_state, ob, sub)
+            bs, out = batch_lib.batched_step(cfg, bs, actions)
+            rs = replay_lib.insert_tick(rs, ob, actions, out.reward,
+                                        out.info["terminal_obs"], out.done)
+            return (bs, out.obs, rs, k), (out.reward, out.reset_happened)
 
-        ep_ret, fin_sum, fin_cnt = _episode_stats(
-            axis, ep_ret, outs.reward, outs.reset_happened)
+        (bstate, obs, rstate, _), (rews, resets) = jax.lax.scan(
+            roll_body, (bstate, obs, rstate, k_roll), None,
+            length=rollout_len)
+
+        ep_ret, fin_sum, fin_cnt = _episode_stats(axis, ep_ret, rews, resets)
         metrics = {
-            "mean_reward": jax.lax.pmean(trs.reward.mean(), axis),
+            "mean_reward": jax.lax.pmean(rews.mean(), axis),
             "fin_sum": fin_sum, "fin_cnt": fin_cnt,
         }
 

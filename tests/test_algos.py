@@ -235,3 +235,68 @@ def test_ppo_update_runs(cfg):
     # entropy coef decayed once per train call (ppo.py:149)
     assert float(states[0].entropy_coef) == pytest.approx(
         cfg.entropy_coef * cfg.entropy_coef_decay)
+
+
+@pytest.mark.parametrize("framework", ["MONO", "MODUL"])
+def test_insert_tick_scan_matches_staged_rollout(framework):
+    """The fused in-scan ring write (replay.insert_tick inside the superstep
+    rollout, train_step.py) must leave the ring bitwise-identical to the
+    staged path (batch.rollout stack -> insert_rollout) for the same key
+    stream — same rows, same order, same cursor."""
+    from gym_rotor_tpu.envs import batch as batch_lib
+
+    cfg = Config(framework=framework, use_equiv=False, num_envs=8,
+                 replay_buffer_size=128, max_steps=32)
+    act_total = sum(cfg.action_dim_n)
+    bstate, obs = batch_lib.batched_reset(cfg, jax.random.PRNGKey(0))
+    rs0 = replay.create(cfg.replay_buffer_size, cfg.obs_dim_n,
+                        cfg.action_dim_n)
+
+    def policy(_, ob, k):
+        return jax.random.uniform(k, (ob[0].shape[0], act_total),
+                                  jnp.float32, -1.0, 1.0)
+
+    T = 6
+    key = jax.random.PRNGKey(42)
+
+    # staged: stack the rollout, then one bulk scatter
+    _, _, trs, _ = batch_lib.rollout(cfg, bstate, obs, key, policy, None, T)
+    rs_staged = replay.insert_rollout(rs0, trs)
+
+    # fused: per-tick scatter inside the scan (superstep roll_body shape)
+    def body(carry, _):
+        bs, ob, rs, k = carry
+        k, sub = jax.random.split(k)
+        actions = policy(None, ob, sub)
+        bs, out = batch_lib.batched_step(cfg, bs, actions)
+        rs = replay.insert_tick(rs, ob, actions, out.reward,
+                                out.info["terminal_obs"], out.done)
+        return (bs, out.obs, rs, k), None
+
+    (_, _, rs_fused, _), _ = jax.lax.scan(
+        body, (bstate, obs, rs0, key), None, length=T)
+
+    assert int(rs_fused.ptr) == int(rs_staged.ptr) == T * 8
+    assert int(rs_fused.filled) == int(rs_staged.filled)
+    for a, b in zip(jax.tree.leaves(rs_fused), jax.tree.leaves(rs_staged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_insert_tick_wraparound_keeps_newest():
+    """Per-tick inserts must wrap the cursor modulo capacity and retain the
+    newest rows (the staged bulk insert requires T*B <= capacity; the fused
+    path only needs B <= capacity)."""
+    cfg = Config(framework="MONO", use_equiv=False, num_envs=4,
+                 replay_buffer_size=8, max_steps=32)
+    rs = replay.create(8, cfg.obs_dim_n, cfg.action_dim_n)
+    for t in range(5):  # 20 rows through a cap-8 ring
+        obs = (jnp.full((4, 23), float(t)),)
+        act = jnp.full((4, 4), float(t))
+        rwd = jnp.full((4, 1), float(t))
+        done = jnp.zeros((4, 1))
+        rs = replay.insert_tick(rs, obs, act, rwd, obs, done)
+    assert int(rs.ptr) == 20 % 8
+    assert int(rs.filled) == 8
+    # ring holds exactly ticks 3 and 4 (rows 12..19), wrapped
+    vals = np.asarray(rs.obs[0])[:, 0]
+    assert sorted(vals.tolist()) == [3.0] * 4 + [4.0] * 4
