@@ -133,29 +133,41 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
                                                   noise_std, sub))
             return jnp.concatenate(acts, axis=-1)
 
-        # Fused rollout -> ring insert: each tick scatter-writes its B rows
-        # straight into the replay ring inside the scan (bitwise the same
-        # ring as stacking + insert_rollout, tests/test_algos.py), skipping
-        # the (T, B, ...) transition stack in HBM — the staged path pays
-        # write-stack + read-stack + scatter per element, this pays only the
-        # scatter.  Only the small per-tick reward/reset rows stack.
+        # Fused rollout -> ring insert -> episode stats: each tick
+        # scatter-writes its B rows straight into the replay ring inside
+        # the scan (bitwise the same ring as stacking + insert_rollout,
+        # tests/test_algos.py) AND accumulates the episodic-return
+        # bookkeeping (reference main.py:218-223) in the carry, so the scan
+        # stacks NOTHING — the staged design paid write-stack + read-stack
+        # + scatter per transition element plus a second scan over stacked
+        # (T, B) rewards for the stats (measured ~28% of the warm rollout).
+        fin0 = (jnp.zeros((cfg.n_agents,), jnp.float32), jnp.zeros(()),
+                jnp.zeros(()))
+
         def roll_body(carry, _):
-            bs, ob, rs, k = carry
+            bs, ob, rs, k, ep, (fin, cnt, rsum) = carry
             k, sub = jax.random.split(k)
             actions = policy(act_state, ob, sub)
             bs, out = batch_lib.batched_step(cfg, bs, actions)
             rs = replay_lib.insert_tick(rs, ob, actions, out.reward,
                                         out.info["terminal_obs"], out.done)
-            return (bs, out.obs, rs, k), (out.reward, out.reset_happened)
+            reset = out.reset_happened
+            ep = ep + out.reward
+            fin = fin + jnp.sum(jnp.where(reset[:, None], ep, 0.0), axis=0)
+            cnt = cnt + jnp.sum(reset.astype(jnp.float32))
+            rsum = rsum + out.reward.sum()
+            ep = jnp.where(reset[:, None], 0.0, ep)
+            return (bs, out.obs, rs, k, ep, (fin, cnt, rsum)), None
 
-        (bstate, obs, rstate, _), (rews, resets) = jax.lax.scan(
-            roll_body, (bstate, obs, rstate, k_roll), None,
+        (bstate, obs, rstate, _, ep_ret, (fin, cnt, rsum)), _ = jax.lax.scan(
+            roll_body, (bstate, obs, rstate, k_roll, ep_ret, fin0), None,
             length=rollout_len)
 
-        ep_ret, fin_sum, fin_cnt = _episode_stats(axis, ep_ret, rews, resets)
+        n_rewards = rollout_len * obs[0].shape[0] * cfg.n_agents
         metrics = {
-            "mean_reward": jax.lax.pmean(rews.mean(), axis),
-            "fin_sum": fin_sum, "fin_cnt": fin_cnt,
+            "mean_reward": jax.lax.pmean(rsum / n_rewards, axis),
+            "fin_sum": jax.lax.psum(fin, axis),
+            "fin_cnt": jax.lax.psum(cnt, axis),
         }
 
         if not warm:
