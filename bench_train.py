@@ -20,10 +20,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+from gym_rotor_tpu.algos import ppo as ppo_lib
+from gym_rotor_tpu.algos import sac as sac_lib
 from gym_rotor_tpu.algos import td3 as td3_lib
-from gym_rotor_tpu.models import td3_models
+from gym_rotor_tpu.models import ppo_models, sac_models, td3_models
 from gym_rotor_tpu.parallel import mesh as mesh_lib
 from gym_rotor_tpu.parallel.train_step import (init_ep_ret,
+                                               make_sharded_ppo_superstep,
                                                make_sharded_td3_superstep,
                                                sharded_init)
 from gym_rotor_tpu.utils.config import Config
@@ -42,10 +45,18 @@ def main(argv=None):
                    help="update batch (0 = num_envs)")
     p.add_argument("--mlp", action="store_true",
                    help="bench MONO + plain MLP instead of MODUL + EMLP")
+    p.add_argument("--algo", choices=("td3", "sac", "ppo"), default="td3",
+                   help="algorithm family: td3 (default), sac (same "
+                        "off-policy superstep with sampled-action act_fn + "
+                        "sac train_fn), ppo (on-policy superstep: "
+                        "rollout_len-tick horizon + GAE + K_epochs)")
     p.add_argument("--fold", action="store_true",
                    help="fold the equivariant projection per optimizer step "
                         "(cfg.equiv_fold) instead of projecting every "
                         "forward (SURVEY §7.5)")
+    p.add_argument("--iters", type=int, default=0,
+                   help="supersteps per measurement round (0 = sized for "
+                        "~2e7 env steps; set explicitly for CPU smokes)")
     p.add_argument("--warm", action="store_true",
                    help="measure the warm (rollout+replay only, no learner) "
                         "variant — the breakdown baseline")
@@ -55,27 +66,61 @@ def main(argv=None):
 
     n_updates = args.updates or args.rollout_len
     batch = args.batch_size or args.num_envs
+    kw = dict(rl_algo=args.algo.upper(), num_envs=args.num_envs,
+              batch_size=batch, replay_buffer_size=1_000_000, max_steps=4000,
+              T_horizon=args.num_envs * args.rollout_len)
     if args.mlp:
-        cfg = Config(framework="MONO", use_equiv=False,
-                     num_envs=args.num_envs, batch_size=batch,
-                     replay_buffer_size=1_000_000, max_steps=4000)
+        cfg = Config(framework="MONO", use_equiv=False, **kw)
     else:
         cfg = Config(framework="MODUL", module_training="DTDE",
-                     use_equiv=True, equiv_fold=args.fold,
-                     num_envs=args.num_envs,
-                     batch_size=batch, replay_buffer_size=1_000_000,
-                     max_steps=4000)
+                     use_equiv=True, equiv_fold=args.fold, **kw)
 
     mesh = mesh_lib.make_mesh()
-    agents = [td3_lib.TD3Agent(cfg, i, td3_models(cfg, i))
+    model_fns = {"td3": td3_models, "sac": sac_models, "ppo": ppo_models}
+    agent_cls = {"td3": td3_lib.TD3Agent, "sac": sac_lib.SACAgent,
+                 "ppo": ppo_lib.PPOAgent}
+    agents = [agent_cls[args.algo](cfg, i, model_fns[args.algo](cfg, i))
               for i in range(cfg.n_agents)]
     states = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(agents)]
     states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
-    bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(0))
+    on_policy = args.algo == "ppo"
+    bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(0),
+                                       with_replay=not on_policy)
     ep_ret = init_ep_ret(cfg, mesh)
-    step = make_sharded_td3_superstep(cfg, agents, mesh,
-                                      rollout_len=args.rollout_len,
-                                      n_updates=n_updates)
+
+    if on_policy:
+        if args.warm:
+            p.error("--warm is an off-policy warmup variant (TD3/SAC only)")
+        # one superstep = one T_horizon segment + K_epochs of minibatches
+        n_updates = cfg.K_epochs
+        ppo_step = make_sharded_ppo_superstep(cfg, agents, mesh,
+                                              rollout_len=args.rollout_len)
+
+        def step(bstate, obs, rstate, states, ep_ret, key, noise_std,
+                 warm=False):
+            bstate, obs, states, ep_ret, metrics = ppo_step(
+                bstate, obs, states, ep_ret, key)
+            return bstate, obs, rstate, states, ep_ret, metrics
+    else:
+        act_fn = act_prep = train_fn = None
+        if args.algo == "sac":
+            train_fn = sac_lib.train_step
+
+            def act_prep(states):
+                return [a.fold_actor(states[i].actor)
+                        for i, a in enumerate(agents)]
+
+            def act_fn(folded, ob, noise_std, k):
+                acts = []
+                for i, a in enumerate(agents):
+                    k, sub = jax.random.split(k)
+                    acts.append(a.choose_action_f(folded[i], ob[i], sub))
+                return jnp.concatenate(acts, axis=-1)
+
+        step = make_sharded_td3_superstep(
+            cfg, agents, mesh, rollout_len=args.rollout_len,
+            n_updates=n_updates, train_fn=train_fn, act_fn=act_fn,
+            act_prep=act_prep)
 
     warm = args.warm
     # warmup/compile
@@ -85,7 +130,7 @@ def main(argv=None):
     jax.block_until_ready(metrics["mean_reward"])
 
     steps_per_call = cfg.num_envs * args.rollout_len
-    iters = max(2, int(2e7 // steps_per_call))
+    iters = args.iters or max(2, int(2e7 // steps_per_call))
     rate = 0.0
     prof = None
     for rep in range(3):  # best of three: sheds transient contention
@@ -112,7 +157,8 @@ def main(argv=None):
         "rollout_len": args.rollout_len,
         "updates_per_superstep": n_updates,
         "update_batch": batch,
-        "model": "MONO-MLP" if args.mlp else "MODUL-EMLP-DTDE",
+        "model": ("MONO-MLP" if args.mlp else "MODUL-EMLP-DTDE")
+                 + "-" + args.algo.upper(),
         "equiv_fold": bool(args.fold),
         "updates_per_sec": 0.0 if warm else rate / steps_per_call * n_updates,
         "warm_rollout_only": warm,
