@@ -63,3 +63,20 @@ def test_probe_subprocess_succeeds_on_cpu(monkeypatch):
     monkeypatch.setenv("GYM_ROTOR_PROBE_PLATFORM", "cpu")
     err = bench._probe_backend(attempts=1, timeout_s=240.0)
     assert err is None, err
+
+
+def test_bench_train_json_protocol():
+    """bench_train.py shares the one-JSON-line protocol; guard its schema
+    (MONO-MLP mode: no EMLP basis solves, fast on CPU)."""
+    import bench_train
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench_train.main(["--num_envs", "8", "--rollout_len", "2",
+                          "--batch_size", "8", "--iters", "1", "--mlp"])
+    lines = [l for l in buf.getvalue().strip().splitlines() if l]
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "trained_env_steps_per_sec"
+    assert rec["value"] > 0
+    assert rec["model"] == "MONO-MLP-TD3"
+    assert rec["updates_per_superstep"] == 2
