@@ -171,8 +171,21 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
         v_obs, v_next_obs = data.obs[i], data.next_obs[i]
 
     critic_fv = agent.fold_critic(state.critic)  # one fold, two forwards
-    values = agent.critic_apply_def.apply(critic_fv, v_obs)
-    next_values = agent.critic_apply_def.apply(critic_fv, v_next_obs)
+
+    def v_apply(o):
+        # Batched (T, B, d) horizons evaluate the critic one time-slice at a
+        # time: the EMLP bilinear layer materializes a (rows, n_slots)
+        # gather intermediate (n_slots ~ 9.4k for the V-critic), which on a
+        # flattened T*B horizon is O(GB) — at 4096 envs x 50 ticks it alone
+        # exceeded HBM (21.9G peak, measured). Per-slice application caps
+        # the intermediate at (B, n_slots) with identical results.
+        if o.ndim == 3:
+            return jax.lax.map(
+                lambda ot: agent.critic_apply_def.apply(critic_fv, ot), o)
+        return agent.critic_apply_def.apply(critic_fv, o)
+
+    values = v_apply(v_obs)
+    next_values = v_apply(v_next_obs)
     # GAE scans over the time axis; with batched envs ((T, B, ...) arrays)
     # the scan carry is (B, 1) so every env's advantage chain is independent.
     advs, td_targets = gae(cfg, values, next_values, data.rwd[i],

@@ -6,7 +6,11 @@ the stacked outputs for the (since removed) second episode-stats scan cost
 ~1us/tick, which motivated accumulating episode stats in the scan carry
 (parallel/train_step.py roll_body).  Run from the repo root."""
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
