@@ -114,9 +114,20 @@ def _run_bench(args):
         # return a small reduction so the scan isn't dead-code eliminated
         return b, o, outs.reward.sum()
 
+    def barrier(x):
+        """Real device-completion barrier: a host TRANSFER of a reduction.
+
+        jax.block_until_ready is a NO-OP through the axon tunnel (measured
+        2026-08-18, scripts/block_semantics_probe.py: a ~8.6 TFLOP program
+        'blocked' in 0.1 ms; the actual float() transfer took 120 s), so
+        any timing fenced by it measures dispatch, not compute.  A device
+        executes whole programs in order, so transferring any output of
+        the LAST chained call is a correct fence for the entire sequence."""
+        return float(jnp.sum(x))
+
     # warmup/compile
     bs, obs, _ = run(bs, obs, jax.random.PRNGKey(1))
-    jax.block_until_ready(bs.env.x)
+    barrier(bs.env.x)
 
     # best of three measurement rounds: sheds transient host/device
     # contention (e.g. a just-killed training process still settling)
@@ -126,7 +137,7 @@ def _run_bench(args):
         t0 = time.perf_counter()
         for i in range(iters):
             bs, obs, s = run(bs, obs, jax.random.PRNGKey(2 + 10 * rep + i))
-        jax.block_until_ready(bs.env.x)
+        barrier(bs.env.x)
         dt = time.perf_counter() - t0
         total_steps = cfg.num_envs * steps_per_call * iters
         rate = max(rate, total_steps / dt)

@@ -122,12 +122,24 @@ def main(argv=None):
             n_updates=n_updates, train_fn=train_fn, act_fn=act_fn,
             act_prep=act_prep)
 
+    def barrier(states, metrics):
+        """Real device-completion barrier: host TRANSFERS of reductions
+        over the most-downstream outputs (learner params + rollout
+        metrics).  jax.block_until_ready is a NO-OP through the axon
+        tunnel (scripts/block_semantics_probe.py), and a device executes
+        whole programs in order, so transferring outputs of the LAST
+        chained call fences the entire sequence — including every
+        learner update."""
+        s = float(jnp.sum(jax.tree.leaves(states[0].actor)[0]))
+        s += float(metrics["mean_reward"])
+        return s
+
     warm = args.warm
     # warmup/compile
     bstate, obs, rstate, states, ep_ret, metrics = step(
         bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(1), 0.1,
         warm=warm)
-    jax.block_until_ready(metrics["mean_reward"])
+    barrier(states, metrics)
 
     steps_per_call = cfg.num_envs * args.rollout_len
     iters = args.iters or max(2, int(2e7 // steps_per_call))
@@ -142,7 +154,7 @@ def main(argv=None):
             bstate, obs, rstate, states, ep_ret, metrics = step(
                 bstate, obs, rstate, states, ep_ret,
                 jax.random.PRNGKey(2 + 10 * rep + i), 0.1, warm=warm)
-        jax.block_until_ready(metrics["mean_reward"])
+        barrier(states, metrics)
         dt = time.perf_counter() - t0
         rate = max(rate, steps_per_call * iters / dt)
     if prof:

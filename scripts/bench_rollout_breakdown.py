@@ -63,13 +63,14 @@ for variant in ("bare", "stats", "full"):
     run = make(variant)
     bs, ob, rs = bstate, obs, rstate
     bs, ob, rs, s = run(bs, ob, rs, jax.random.PRNGKey(1))
-    jax.block_until_ready(s)
+    float(jnp.sum(bs.env.x))  # transfer barrier — block_until_ready is a
+    # no-op through the axon tunnel (scripts/block_semantics_probe.py)
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
         for i in range(5):
             bs, ob, rs, s = run(bs, ob, rs, jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(s)
+        float(jnp.sum(bs.env.x)) + float(jnp.sum(rs.obs[0]))
         best = min(best, (time.perf_counter() - t0) / 5)
     print(json.dumps({"variant": variant, "s_per_superstep": best,
                       "steps_per_sec": B * T / best,
