@@ -129,18 +129,33 @@ def _run_bench(args):
     bs, obs, _ = run(bs, obs, jax.random.PRNGKey(1))
     barrier(bs.env.x)
 
-    # best of three measurement rounds: sheds transient host/device
-    # contention (e.g. a just-killed training process still settling)
-    iters = 5
-    rate = 0.0
-    for rep in range(3):
+    # Two-point slope measurement: the fence transfer costs one tunnel
+    # round trip (~32 ms measured), which would dominate any single fenced
+    # timing whose device work is not >> RTT.  Timing a SHORT chain and a
+    # LONG chain of the same compiled call, each fenced once, and taking
+    #   rate = extra_work / (dt_long - dt_short)
+    # cancels the RTT and every other per-measurement constant.  Per-call
+    # dispatch does not cancel, but it pipelines under device execution
+    # (calls here are ~50 ms of device time vs ~1-3 ms dispatch).
+    def timed_chain(iters, seed0):
+        nonlocal bs, obs
         t0 = time.perf_counter()
         for i in range(iters):
-            bs, obs, s = run(bs, obs, jax.random.PRNGKey(2 + 10 * rep + i))
+            bs, obs, s = run(bs, obs, jax.random.PRNGKey(seed0 + i))
         barrier(bs.env.x)
-        dt = time.perf_counter() - t0
-        total_steps = cfg.num_envs * steps_per_call * iters
-        rate = max(rate, total_steps / dt)
+        return time.perf_counter() - t0
+
+    iters_a = 2
+    dt_cal = timed_chain(iters_a, 100)
+    # size the long chain so the extra device work is ~4 s (RTT jitter of a
+    # few ms is then <0.5% of the slope), capped to bound runtime
+    extra = min(400, max(3, int(4.0 / max(dt_cal / iters_a, 1e-3))))
+    rate = 0.0
+    for rep in range(2):  # best of two slopes: sheds transient contention
+        dt_a = timed_chain(iters_a, 200 + 50 * rep)
+        dt_b = timed_chain(iters_a + extra, 300 + 500 * rep)
+        rate = max(rate,
+                   extra * steps_per_call * cfg.num_envs / (dt_b - dt_a))
     print(json.dumps({
         "metric": "env_steps_per_sec",
         "value": rate,

@@ -142,21 +142,34 @@ def main(argv=None):
     barrier(states, metrics)
 
     steps_per_call = cfg.num_envs * args.rollout_len
-    iters = args.iters or max(2, int(2e7 // steps_per_call))
-    rate = 0.0
-    prof = None
-    for rep in range(3):  # best of three: sheds transient contention
-        if args.profile_dir and rep == 2 and prof is None:
-            jax.profiler.start_trace(args.profile_dir)
-            prof = True
+
+    # Two-point slope measurement (see bench.py): one fence transfer costs
+    # a tunnel round trip (~32 ms), so rate = extra_work / (dt_long -
+    # dt_short) over a short and a long chain of the same compiled call —
+    # the RTT cancels.  --iters fixes the long chain's extra length (CPU
+    # smokes); otherwise it is sized for ~6 s of extra device work.
+    def timed_chain(iters, seed0):
+        nonlocal bstate, obs, rstate, states, ep_ret, metrics
         t0 = time.perf_counter()
         for i in range(iters):
             bstate, obs, rstate, states, ep_ret, metrics = step(
                 bstate, obs, rstate, states, ep_ret,
-                jax.random.PRNGKey(2 + 10 * rep + i), 0.1, warm=warm)
+                jax.random.PRNGKey(seed0 + i), 0.1, warm=warm)
         barrier(states, metrics)
-        dt = time.perf_counter() - t0
-        rate = max(rate, steps_per_call * iters / dt)
+        return time.perf_counter() - t0
+
+    iters_a = 1
+    dt_cal = timed_chain(iters_a, 100)
+    extra = args.iters or min(200, max(2, int(6.0 / max(dt_cal, 1e-3))))
+    rate = 0.0
+    prof = None
+    for rep in range(2):  # best of two slopes: sheds transient contention
+        if args.profile_dir and rep == 1 and prof is None:
+            jax.profiler.start_trace(args.profile_dir)
+            prof = True
+        dt_a = timed_chain(iters_a, 200 + 50 * rep)
+        dt_b = timed_chain(iters_a + extra, 300 + 500 * rep)
+        rate = max(rate, steps_per_call * extra / (dt_b - dt_a))
     if prof:
         jax.profiler.stop_trace()
 

@@ -175,17 +175,44 @@ def project_linear(rep_in: SumRep, rep_out: SumRep, kernel, bias):
 def _bilinear_struct(rep: SumRep):
     """Static structure of the bilinear layer for in_rep == out_rep == rep.
 
-    Two regimes:
-    * general type pairs (multi-dimensional atoms, e.g. SO2eR3 vectors and
-      rank-2 tensors) -> one einsum per (type_out, type_in) pair;
-    * all-size-1 pairs (e.g. the rank tower uniform_rep builds for Mirror(1),
-      whose atoms are all 1-dimensional) -> a single vectorized
-      gather/scatter over flat coordinates, avoiding thousands of tiny ops.
+    The sampled input-mixing indices are drawn ONCE per product type and
+    shared by every (type_out, type_in) pair of that type — the reference's
+    ``reduced_indices_dict`` (representation.py:374-377; the general engine,
+    rep_algebra.py:1099-1102, does the same).  Beyond faithfulness, the
+    shared draw is what makes the scalar-tower regime (uniform_rep over d=1
+    groups like Mirror(1)) factorizable: with one shared gate coordinate per
+    product type, a (type_out, type_in) family is ``gate * (x_in @ W)`` — a
+    scalar-gated matmul — instead of a per-slot gather.  Before this the
+    flat path materialized (batch, ~9.4k-slot) gather intermediates in the
+    MODUL2 critic, which made the whole EMLP train step HBM-bound (measured
+    ~24 GB accessed per update, ~38 ms/update on a v5e).
+
+    Four compute regimes, all reading the SAME parameter layout (row-major
+    (mult_out, mult_in[, n]) blocks in (type_out, type_in) loop order — the
+    layout predates this factorization, so existing checkpoints load):
+
+    * ``pairs``  — multi-dimensional product types -> one einsum per pair;
+    * ``big``    — scalar-type pairs with mult_out>=2 and mult_in>=2 -> one
+      scalar-gated matmul per pair (the 62x62 block of the MODUL2 critic);
+    * ``col_groups`` — scalar pairs with mult_in==1, grouped by type_out ->
+      one stacked matmul per output type: Z[:, j] = gate_j * x_col_j,
+      out += Z @ W_stack;
+    * ``row_groups`` — scalar pairs with mult_out==1, mult_in>=2, grouped by
+      type_in -> one matmul per input type, gated and scattered to rows;
+    * ``s1``     — the residual mult_out==mult_in==1 slots -> flat
+      gather/scatter (small once the groups above absorb the wide types).
     """
     tg = group_by_type(rep)
     x_types = {t.key: t for t in tg if t.atom.rank >= 1}
     rng = np.random.default_rng(BILINEAR_SEED)
+    # shared per-type reduced indices: n = min(mult, d_tau) samples with
+    # replacement, like torch.randint (representation.py:374-378)
+    bids = {t.key: rng.integers(0, t.mult, size=min(t.mult, t.atom.size))
+            for t in tg if t.atom.rank >= 1}
     pairs = []
+    big = []
+    col_groups: dict = {}
+    row_groups: dict = {}
     s1_rows, s1_cols, s1_sels, s1_pidx = [], [], [], []
     wdim = 0
     for io, to in enumerate(tg):
@@ -196,22 +223,28 @@ def _bilinear_struct(rep: SumRep):
             xt = x_types[tau]
             d_tau = xt.atom.size
             if to.atom.size == 1 and ti.atom.size == 1 and d_tau == 1:
-                # flat-coordinate path: one param per (out_atom, in_atom)
-                # slot, sel picks one x atom of the product type
-                for r in to.indices:
-                    for c in ti.indices:
-                        s1_rows.append(r)
-                        s1_cols.append(c)
-                        s1_sels.append(
-                            xt.indices[rng.integers(0, xt.mult)])
-                        s1_pidx.append(wdim)
-                        wdim += 1
+                # scalar product type: n == 1, one shared gate coordinate
+                gate = int(xt.indices[bids[tau][0]])
+                mo, mi = to.mult, ti.mult
+                off = wdim
+                wdim += mo * mi
+                if mo >= 2 and mi >= 2:
+                    big.append(dict(io=io, ii=ii, off=off, gate=gate))
+                elif mo >= 2:  # mi == 1
+                    col_groups.setdefault(io, []).append(
+                        dict(off=off, col=int(ti.indices[0]), gate=gate))
+                elif mi >= 2:  # mo == 1
+                    row_groups.setdefault(ii, []).append(
+                        dict(off=off, row=int(to.indices[0]), gate=gate))
+                else:
+                    s1_rows.append(int(to.indices[0]))
+                    s1_cols.append(int(ti.indices[0]))
+                    s1_sels.append(gate)
+                    s1_pidx.append(off)
                 continue
             n = min(xt.mult, d_tau)
             slots = to.mult * ti.mult
-            sel = rng.integers(0, xt.mult, size=n)  # with replacement,
-            # like torch.randint (representation.py:376-378)
-            pairs.append(dict(io=io, ii=ii, tau=tau, n=n, sel=sel,
+            pairs.append(dict(io=io, ii=ii, tau=tau, n=n, sel=bids[tau],
                               offset=wdim, slots=slots))
             wdim += slots * n
     s1 = None
@@ -220,7 +253,8 @@ def _bilinear_struct(rep: SumRep):
             rows=np.asarray(s1_rows), cols=np.asarray(s1_cols),
             sels=np.asarray(s1_sels), pidx=np.asarray(s1_pidx),
         )
-    return tg, pairs, s1, wdim
+    return tg, dict(pairs=pairs, big=big, col_groups=col_groups,
+                    row_groups=row_groups, s1=s1), wdim
 
 
 class EquivBiLinear(nn.Module):
@@ -229,7 +263,7 @@ class EquivBiLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        tg, pairs, s1, wdim = _bilinear_struct(self.rep)
+        tg, st, wdim = _bilinear_struct(self.rep)
         if wdim == 0:
             return jnp.zeros_like(x)
         params = self.param(
@@ -240,12 +274,12 @@ class EquivBiLinear(nn.Module):
         xf = x.reshape((-1, x.shape[-1]))
         B = xf.shape[0]
         out = jnp.zeros_like(xf)
-        if pairs:
+        if st["pairs"]:
             # group x by type
             xg = {t.key: xf[:, t.indices].reshape(B, t.mult, t.atom.size)
                   for t in tg}
             y_per_type = {}
-            for p in pairs:
+            for p in st["pairs"]:
                 to, ti = tg[p["io"]], tg[p["ii"]]
                 do, mo = to.atom.size, to.mult
                 di, mi = ti.atom.size, ti.mult
@@ -263,6 +297,33 @@ class EquivBiLinear(nn.Module):
                 if t.key in y_per_type:
                     out = out.at[:, t.indices].add(
                         y_per_type[t.key].reshape(B, t.mult * t.atom.size))
+        for p in st["big"]:
+            # scalar-gated matmul: out_to += x_gate * (x_ti @ W^T)
+            to, ti = tg[p["io"]], tg[p["ii"]]
+            W = params[p["off"]:p["off"] + to.mult * ti.mult]
+            W = W.reshape(to.mult, ti.mult)
+            y = (xf[:, ti.indices] @ W.T) * xf[:, p["gate"]][:, None]
+            out = out.at[:, to.indices].add(y)
+        for io, grp in st["col_groups"].items():
+            # stacked mult_in==1 pairs: Z[:, j] = gate_j * x_col_j
+            to = tg[io]
+            cols = np.asarray([g["col"] for g in grp])
+            gates = np.asarray([g["gate"] for g in grp])
+            Ws = jnp.stack(
+                [params[g["off"]:g["off"] + to.mult] for g in grp])  # (J,mo)
+            Z = xf[:, gates] * xf[:, cols]                           # (B,J)
+            out = out.at[:, to.indices].add(Z @ Ws)
+        for ii, grp in st["row_groups"].items():
+            # stacked mult_out==1 pairs: Y[:, j] = gate_j * (x_ti . w_j)
+            ti = tg[ii]
+            rows = np.asarray([g["row"] for g in grp])
+            gates = np.asarray([g["gate"] for g in grp])
+            Wr = jnp.stack(
+                [params[g["off"]:g["off"] + ti.mult] for g in grp],
+                axis=1)                                              # (mi,J)
+            Y = (xf[:, ti.indices] @ Wr) * xf[:, gates]              # (B,J)
+            out = out.at[:, rows].add(Y)
+        s1 = st["s1"]
         if s1 is not None:
             w1 = params[s1["pidx"]]                            # (P,)
             contrib = w1 * xf[:, s1["sels"]] * xf[:, s1["cols"]]
