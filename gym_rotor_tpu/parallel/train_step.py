@@ -203,10 +203,17 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
             jax.tree.map(lambda _: rep_spec, states),
             env_spec, rep_spec,
         )
+        # Donate the replay ring: without input-output aliasing XLA must
+        # COPY the whole ring once per superstep before the first in-scan
+        # scatter (the input buffer stays live from the caller's view).
+        # Measured: warm superstep wall time scaled with ring capacity
+        # (15.5 ms at 1e4 rows -> 54.7 ms at 1e6 rows, fixed work) before
+        # donation; capacity-independent after.  Callers already reassign
+        # the returned ReplayState (train.py, bench_train.py).
         return jax.jit(shard_map(
             partial(body, warm=warm), mesh=mesh, in_specs=in_specs,
             out_specs=out_specs, check_vma=False,
-        ))
+        ), donate_argnums=(2,))
 
     compiled = {}
 
