@@ -55,8 +55,9 @@ def main(argv=None):
                         "(cfg.equiv_fold) instead of projecting every "
                         "forward (SURVEY §7.5)")
     p.add_argument("--iters", type=int, default=0,
-                   help="supersteps per measurement round (0 = sized for "
-                        "~2e7 env steps; set explicitly for CPU smokes)")
+                   help="extra supersteps in the slope measurement's long "
+                        "chain (0 = sized for ~6 s of device work; set "
+                        "explicitly for CPU smokes)")
     p.add_argument("--warm", action="store_true",
                    help="measure the warm (rollout+replay only, no learner) "
                         "variant — the breakdown baseline")

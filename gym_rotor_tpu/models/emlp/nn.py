@@ -188,8 +188,12 @@ def _bilinear_struct(rep: SumRep):
     ~24 GB accessed per update, ~38 ms/update on a v5e).
 
     Four compute regimes, all reading the SAME parameter layout (row-major
-    (mult_out, mult_in[, n]) blocks in (type_out, type_in) loop order — the
-    layout predates this factorization, so existing checkpoints load):
+    (mult_out, mult_in[, n]) blocks in (type_out, type_in) loop order).
+    NOTE: the layout predates this factorization, so pre-change checkpoints
+    *load* shape-compatibly but are NOT functionally equivalent — the shared
+    per-type index draw changed the sampled gate/sel coordinates vs the old
+    interleaved per-pair RNG stream, so loaded pre-change params compute
+    different bilinear outputs:
 
     * ``pairs``  — multi-dimensional product types -> one einsum per pair;
     * ``big``    — scalar-type pairs with mult_out>=2 and mult_in>=2 -> one

@@ -122,10 +122,18 @@ def train_probe(mlp, fold, rollout_len, iters_a, iters_b):
     c0 = step(bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(1), 0.1)
     fence(jax.tree.leaves(c0[3][0].actor)[0])
 
+    # The superstep DONATES the replay ring (train_step.py donate_argnums),
+    # so a chain must never restart from a carry whose ring was already fed
+    # through step() — thread the latest carry across chains/reps instead of
+    # resetting to c0.
+    last = {"c": c0}
+
     def run_once(carry, i):
-        c = carry or c0
-        return step(c[0], c[1], c[2], c[3], c[4],
-                    jax.random.PRNGKey(2 + i), 0.1)
+        c = carry or last["c"]
+        out = step(c[0], c[1], c[2], c[3], c[4],
+                   jax.random.PRNGKey(2 + i), 0.1)
+        last["c"] = out
+        return out
 
     res = slope(run_once, lambda c: jax.tree.leaves(c[3][0].actor)[0],
                 iters_a, iters_b, num_envs * rollout_len)
