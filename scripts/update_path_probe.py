@@ -118,14 +118,12 @@ def time_variant(name, cfg, k, hlo=False, **strip):
         for line in hlo_text.splitlines():
             line = line.strip()
             if "=" in line and not line.startswith(("HloModule", "ENTRY", "//",
-                                                    "%", "}", "{")):
+                                                    "}", "{")):
                 rhs = line.split("=", 1)[1].strip()
-                # opcode is first token after the shape
+                # tokens: <shape> <opcode>(...) — skip the shape token
                 toks = rhs.split(" ")
-                for t in toks:
-                    if t and t[0].isalpha():
-                        ops[t.split("(")[0]] += 1
-                        break
+                if len(toks) >= 2:
+                    ops[toks[1].split("(")[0]] += 1
         out["hlo_total"] = sum(ops.values())
         out["hlo_top"] = ops.most_common(15)
     if getattr(build, "restore", None):

@@ -141,6 +141,94 @@ def test_sharded_ppo_superstep_runs():
     assert np.isfinite(np.asarray(w)).all()
 
 
+def _bit_identical_across_devices(arr):
+    """Replication must be exact: every device's shard of a replicated array
+    holds the same bits."""
+    shards = [np.asarray(s.data) for s in arr.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_sharded_td3_emlp_flagship_superstep_runs_and_syncs():
+    """The FLAGSHIP model family (MODUL-EMLP-DTDE, reference
+    algos/td3/td3_emlp.py:38-43,161-163,215-217) under the sharded
+    superstep: equivariant actors/critics + fold mode, pmean'd gradients,
+    params bit-identically replicated after multiple supersteps."""
+    cfg = Config(framework="MODUL", module_training="DTDE", use_equiv=True,
+                 equiv_fold=True, num_envs=16, replay_buffer_size=512,
+                 batch_size=32, max_steps=64, start_timesteps=0)
+    mesh = mesh_lib.make_mesh(8)
+    agents = [td3_lib.TD3Agent(cfg, i, td3_models(cfg, i)) for i in range(2)]
+    states = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(agents)]
+    states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
+    bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(0))
+    ep_ret = init_ep_ret(cfg, mesh)
+    step = make_sharded_td3_superstep(cfg, agents, mesh, rollout_len=2,
+                                      n_updates=2)
+    for it in range(2):
+        bstate, obs, rstate, states, ep_ret, metrics = step(
+            bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(40 + it),
+            0.1)
+    assert np.isfinite(float(metrics["agent0/critic_loss"]))
+    assert np.isfinite(float(metrics["agent1/critic_loss"]))
+    assert int(states[0].total_it) == 2 * 2
+    # HLO census: all-reduces only — the EMLP projection (baked dense
+    # projector constants) must not smuggle in any resharding collective
+    hlo = step.jitted[False].lower(
+        bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(9),
+        jnp.asarray(0.1, jnp.float32)).compile().as_text()
+    assert hlo.count("all-reduce") > 0
+    assert _collective_census(hlo) == {
+        "all-gather": 0, "all-to-all": 0, "collective-permute": 0,
+        "reduce-scatter": 0}
+    # params replicated bit-identically on every device (both agents,
+    # actor + critic): pmean'd grads + identical optimizer math
+    for st in states:
+        for tree in (st.actor, st.critic):
+            w = jax.tree.leaves(tree)[0]
+            assert w.sharding.is_fully_replicated
+            _bit_identical_across_devices(w)
+
+
+def test_sharded_sac_emlp_superstep_runs():
+    """Second use_equiv=True multichip case: SAC with equivariant
+    actors/critics (fold off — projecting in every forward) through the
+    same off-policy superstep."""
+    from gym_rotor_tpu.algos import sac as sac_lib
+    from gym_rotor_tpu.models import sac_models
+
+    cfg = Config(framework="MODUL", module_training="DTDE", rl_algo="SAC",
+                 use_equiv=True, num_envs=16, replay_buffer_size=512,
+                 batch_size=32, max_steps=64, automatic_entropy_tuning=True)
+    mesh = mesh_lib.make_mesh(8)
+    agents = [sac_lib.SACAgent(cfg, i, sac_models(cfg, i)) for i in range(2)]
+    states = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(agents)]
+    states = [jax.device_put(s, mesh_lib.replicated(mesh)) for s in states]
+    bstate, obs, rstate = sharded_init(cfg, mesh, jax.random.PRNGKey(0))
+    ep_ret = init_ep_ret(cfg, mesh)
+
+    def act_prep(sts):
+        return [a.fold_actor(sts[i].actor) for i, a in enumerate(agents)]
+
+    def act_fn(folded, ob, noise_std, k):
+        acts = []
+        for i, a in enumerate(agents):
+            k, sub = jax.random.split(k)
+            acts.append(a.choose_action_f(folded[i], ob[i], sub))
+        return jnp.concatenate(acts, axis=-1)
+
+    step = make_sharded_td3_superstep(
+        cfg, agents, mesh, rollout_len=2, n_updates=1,
+        train_fn=sac_lib.train_step, act_fn=act_fn, act_prep=act_prep)
+    bstate, obs, rstate, states, ep_ret, metrics = step(
+        bstate, obs, rstate, states, ep_ret, jax.random.PRNGKey(50), 0.1)
+    assert np.isfinite(float(metrics["agent0/critic_loss"]))
+    assert np.isfinite(float(metrics["agent0/alpha"]))
+    w = jax.tree.leaves(states[0].actor)[0]
+    assert w.sharding.is_fully_replicated
+    _bit_identical_across_devices(w)
+
+
 def test_sharded_matches_single_device_structure():
     """The sharded superstep produces the same pytree structure as the
     unsharded path, so checkpoints are interchangeable."""
