@@ -61,6 +61,16 @@ def main(argv=None):
     p.add_argument("--warm", action="store_true",
                    help="measure the warm (rollout+replay only, no learner) "
                         "variant — the breakdown baseline")
+    p.add_argument("--ppo_mb_per_epoch", type=int, default=55,
+                   help="PPO minibatches per epoch per net; minibatch size "
+                        "= T_horizon // this.  55 preserves the reference's "
+                        "update count per horizon (ceil(7000/128), "
+                        "args_parse.py:65,72) while scaling the batch with "
+                        "the env count — the data-parallel scaling of its "
+                        "schedule.  0 = keep the reference's absolute "
+                        "minibatch size (128), which at a 204800-sample "
+                        "horizon means 64000 sequential batch-128 updates "
+                        "per superstep")
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace of the measured loop")
     args = p.parse_args(argv)
@@ -70,6 +80,9 @@ def main(argv=None):
     kw = dict(rl_algo=args.algo.upper(), num_envs=args.num_envs,
               batch_size=batch, replay_buffer_size=1_000_000, max_steps=4000,
               T_horizon=args.num_envs * args.rollout_len)
+    if args.algo == "ppo" and args.ppo_mb_per_epoch:
+        mb = max(kw["T_horizon"] // args.ppo_mb_per_epoch, 1)
+        kw.update(actor_batch_size=mb, critic_batch_size=mb)
     if args.mlp:
         cfg = Config(framework="MONO", use_equiv=False, **kw)
     else:

@@ -49,6 +49,26 @@ def nominal_action(framework: str, agent_id: int, batch: int, action_dim: int,
     return a
 
 
+def caps_noise(cfg, key, obs):
+    """The spatial-smoothness perturbation: ONE N(0, 0.05^2) obs-dim vector
+    broadcast over the batch (policy_regularization.py:20-21)."""
+    return 0.05 * jax.random.normal(key, (1, obs.shape[-1]), obs.dtype)
+
+
+def caps_terms(cfg, agent_id, act, act_next, act_pert):
+    """lam_T*L_T + lam_S*L_S + lam_M*L_M from pre-computed (already clipped)
+    actions — the fused form: callers evaluate the actor ONCE on
+    concat([obs, obs_next, obs + caps_noise]) along the batch axis and split,
+    turning CAPS's three actor forwards into one (identical per-row math:
+    the nets are row-independent)."""
+    loss_T = jnp.mean((act - act_next) ** 2)
+    loss_S = jnp.mean((act - act_pert) ** 2)
+    nominal = nominal_action(cfg.framework, agent_id, act.shape[0],
+                             act.shape[-1], act.dtype)
+    loss_M = jnp.mean((act - nominal) ** 2)
+    return cfg.lam_T * loss_T + cfg.lam_S * loss_S + cfg.lam_M * loss_M
+
+
 def caps_regularization(cfg, agent_id, act_fn, batch_obs, batch_obs_next,
                         key):
     """Return lam_T*L_T + lam_S*L_S + lam_M*L_M for the given actor callable
@@ -56,18 +76,10 @@ def caps_regularization(cfg, agent_id, act_fn, batch_obs, batch_obs_next,
     act = jnp.clip(act_fn(batch_obs), -cfg.max_action, cfg.max_action)
     act_next = jnp.clip(act_fn(batch_obs_next), -cfg.max_action,
                         cfg.max_action)
-    loss_T = jnp.mean((act - act_next) ** 2)
-
-    noise = 0.05 * jax.random.normal(key, (1, batch_obs.shape[-1]),
-                                     batch_obs.dtype)
+    noise = caps_noise(cfg, key, batch_obs)
     act_pert = jnp.clip(act_fn(batch_obs + noise), -cfg.max_action,
                         cfg.max_action)
-    loss_S = jnp.mean((act - act_pert) ** 2)
-
-    nominal = nominal_action(cfg.framework, agent_id, act.shape[0],
-                             act.shape[-1], act.dtype)
-    loss_M = jnp.mean((act - nominal) ** 2)
-    return cfg.lam_T * loss_T + cfg.lam_S * loss_S + cfg.lam_M * loss_M
+    return caps_terms(cfg, agent_id, act, act_next, act_pert)
 
 
 def approx_spectral_norm(W, key, iters: int = 10):
@@ -82,14 +94,46 @@ def approx_spectral_norm(W, key, iters: int = 10):
     return jnp.linalg.norm(W @ x)
 
 
-def spectral_norm_regularization(weights, key, extras=()):
+def spectral_norm_regularization(weights, key, extras=(), iters: int = 10):
     """Sum of squared spectral norms over a list of weight matrices plus
     squared Frobenius norms of extra parameter tensors (the EMLP bilinear
-    params, spectral_norm_regularization.py:41-44)."""
+    params, spectral_norm_regularization.py:41-44).
+
+    TPU redesign: the reference (and our first version) power-iterates each
+    weight *separately* — K matrices x 10 iterations x 2 matvecs + a norm,
+    all sequential, which dominated the learner update's serial op count
+    once everything else fused (~3.7k-instruction HLO, scripts/
+    update_path_probe.py).  Here the matrices are zero-padded to a common
+    shape and stacked, so the whole regularizer is ONE 10-step chain of
+    batched (K, mo, mi) matvecs.  Padding is exact, not approximate: with W
+    zero-padded, y = Wᵀ(Wx) has zeros in every padded coordinate after the
+    first iteration and the padded coordinates of x0 never influence the
+    unpadded block, so each matrix's iterates equal its solo iterates
+    (x0 is drawn per-matrix at its true size from the same fold_in(key, i)
+    stream as before — values differ only by fp reduction order of the
+    norms)."""
     total = 0.0
-    for i, W in enumerate(weights):
-        total = total + approx_spectral_norm(
-            W, jax.random.fold_in(key, i)) ** 2
+    if weights:
+        K = len(weights)
+        mo = max(int(W.shape[0]) for W in weights)
+        mi = max(int(W.shape[1]) for W in weights)
+        Ws = jnp.stack([
+            jnp.pad(W, ((0, mo - W.shape[0]), (0, mi - W.shape[1])))
+            for W in weights])                              # (K, mo, mi)
+        x = jnp.stack([
+            jnp.pad(jax.random.normal(jax.random.fold_in(key, i),
+                                      (W.shape[1],), W.dtype),
+                    (0, mi - W.shape[1]))
+            for i, W in enumerate(weights)])                # (K, mi)
+
+        def body(_, x):
+            y = jnp.einsum("kij,kj->ki", Ws, x)             # (K, mo)
+            x = jnp.einsum("kij,ki->kj", Ws, y)             # (K, mi)
+            return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+        x = jax.lax.fori_loop(0, iters, body, x)
+        sigma = jnp.linalg.norm(jnp.einsum("kij,kj->ki", Ws, x), axis=-1)
+        total = total + jnp.sum(sigma * sigma)
     for e in extras:
         total = total + jnp.sum(e * e)
     return total

@@ -21,7 +21,7 @@ from ..models import mlp
 from . import regularizers
 from .common import make_optimizer, mse, pmean_if, soft_update
 from .replay import Batch
-from .td3 import ModelDefs
+from .td3 import STACK_CRITIC_FWDS, ModelDefs
 
 
 @struct.dataclass
@@ -93,9 +93,14 @@ class SACAgent:
 
     def sample_f(self, folded_actor_params, obs, key):
         """sample over pre-folded params (callers fold once per use-site)."""
-        d = self.defs.actor_fast if self.use_fold else self.defs.actor_def
-        mean, log_std = d.apply(folded_actor_params, obs)
+        mean, log_std = self.dist_f(folded_actor_params, obs)
         return mlp.sac_sample(mean, log_std, key)
+
+    def dist_f(self, folded_actor_params, obs):
+        """(mean, log_std) over pre-folded params — the raw policy head for
+        callers that fuse several sample-forwards into one batch."""
+        d = self.defs.actor_fast if self.use_fold else self.defs.actor_def
+        return d.apply(folded_actor_params, obs)
 
     def choose_action(self, state: SACState, obs, key, is_eval=False):
         """Stochastic (train) / deterministic-mean (eval) action
@@ -137,7 +142,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
     rwd, next_obs, done = batch.rwd[i], batch.next_obs[i], batch.done[i]
     alpha = agent.alpha(state)
 
-    # ----- target Q (sac.py:135-153)
+    # ----- target-policy action + entropy (sac.py:135-153)
     if agent.is_ctde:
         next_acts = []
         kk = ks[0]
@@ -148,28 +153,42 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
             next_acts.append(a_n)
         _, logp_next, _ = agent.sample_f(agent.fold_actor(state.actor),
                                          next_obs, ks[1])
-        tq1, tq2 = agent.critic_apply_def.apply(
-            agent.fold_critic(state.critic_target),
-            jnp.concatenate(batch.next_obs, axis=-1),
-            jnp.concatenate(next_acts, axis=-1))
+        t_obs = jnp.concatenate(batch.next_obs, axis=-1)
+        t_act = jnp.concatenate(next_acts, axis=-1)
     else:
         a_next, logp_next, _ = agent.sample_f(agent.fold_actor(state.actor),
                                               next_obs, ks[1])
-        tq1, tq2 = agent.critic_apply_def.apply(
-            agent.fold_critic(state.critic_target), next_obs, a_next)
-    target_q = jnp.minimum(tq1, tq2) - alpha * logp_next
-    target_q = rwd + cfg.discount * (1.0 - done) * target_q
-    target_q = jax.lax.stop_gradient(target_q)
+        t_obs, t_act = next_obs, a_next
 
     c_obs = (jnp.concatenate(batch.obs, axis=-1) if agent.is_ctde else obs)
     c_act = (jnp.concatenate(batch.act, axis=-1) if agent.is_ctde else act)
 
-    # ----- critic update (sac.py:155-170)
+    # ----- critic update (sac.py:155-170) — stacked path: the four twin-Q
+    # evaluations (target net1/net2 on (s', a'), current net1/net2 on
+    # (s, a)) run as ONE vmapped single-net forward (see td3.py _train_one)
+    tpf = agent.fold_critic(state.critic_target)
+    split = agent.defs.critic_split
+    single_def = (agent.defs.critic_single_fast if agent.use_fold
+                  else agent.defs.critic_single)
+
     def critic_loss_fn(cp):
         # fold inside the loss: grads flow through the projection, spectral
         # reg sees raw weights (see td3.py critic_loss_fn)
-        q1, q2 = agent.critic_apply_def.apply(agent.fold_critic(cp),
-                                              c_obs, c_act)
+        cpf = agent.fold_critic(cp)
+        if split is not None and STACK_CRITIC_FWDS:
+            t1, t2 = split(tpf)
+            c1, c2 = split(cpf)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), t1, t2, c1, c2)
+            so = jnp.stack([t_obs, t_obs, c_obs, c_obs])
+            sa = jnp.stack([t_act, t_act, c_act, c_act])
+            q = jax.vmap(single_def.apply)(stacked, so, sa)      # (4, B, 1)
+            tq1, tq2, q1, q2 = q[0], q[1], q[2], q[3]
+        else:
+            tq1, tq2 = agent.critic_apply_def.apply(tpf, t_obs, t_act)
+            q1, q2 = agent.critic_apply_def.apply(cpf, c_obs, c_act)
+        target_q = jax.lax.stop_gradient(
+            rwd + cfg.discount * (1.0 - done)
+            * (jnp.minimum(tq1, tq2) - alpha * logp_next))
         loss = mse(q1, target_q) + mse(q2, target_q)
         if agent.defs.critic_spectral is not None:
             ws, extras = agent.defs.critic_spectral(cp)
@@ -184,6 +203,15 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
 
     # ----- actor update (sac.py:172-203)
     critic_f = agent.fold_critic(critic)  # constant inside the actor loss
+    if split is not None and STACK_CRITIC_FWDS:
+        c12 = jax.tree.map(lambda a, b: jnp.stack([a, b]), *split(critic_f))
+
+        def q12_fn(o, a):
+            q = jax.vmap(single_def.apply, in_axes=(0, None, None))(c12, o, a)
+            return q[0], q[1]
+    else:
+        def q12_fn(o, a):
+            return agent.critic_apply_def.apply(critic_f, o, a)
 
     def actor_loss_fn(ap):
         apf = agent.fold_actor(ap)  # one fold, fanned out to all forwards
@@ -196,22 +224,40 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                 a_j, _, _ = other.sample_f(pf, batch.obs[j], kn)
                 acts.append(a_j)
             _, logp, _ = agent.sample_f(apf, obs, ks[4])
-            q1, q2 = agent.critic_apply_def.apply(
-                critic_f, c_obs, jnp.concatenate(acts, axis=-1))
+            q1, q2 = q12_fn(c_obs, jnp.concatenate(acts, axis=-1))
+            loss = -(jnp.minimum(q1, q2) - alpha * logp).mean()
+            # CAPS (sac.py:194-195) — sampled actions (policy_reg:9-11)
+            def act_fn(o):
+                a, _, _ = agent.sample_f(apf, o, ks[5])
+                return a
+            caps = regularizers.caps_regularization(
+                cfg, agent.agent_id, act_fn, obs, next_obs, ks[3])
         else:
-            a_pi, logp, _ = agent.sample_f(apf, obs, ks[4])
-            q1, q2 = agent.critic_apply_def.apply(critic_f, obs, a_pi)
-        loss = -(jnp.minimum(q1, q2) - alpha * logp).mean()
+            # ONE actor forward serves the policy sample AND all three CAPS
+            # comparisons: [obs; obs; obs_next; obs+eps] stacked along the
+            # batch, with each block given exactly the noise stream the
+            # separate calls drew (a_pi <- ks[4]; the three CAPS samples
+            # share ks[5], as before)
+            eps = regularizers.caps_noise(cfg, ks[3], obs)
+            obs4 = jnp.concatenate([obs, obs, next_obs, obs + eps], axis=0)
+            mean4, log_std4 = agent.dist_f(apf, obs4)
+            B = obs.shape[0]
+            n_pi = jax.random.normal(ks[4], (B, mean4.shape[-1]))
+            n_caps = jax.random.normal(ks[5], (B, mean4.shape[-1]))
+            noise4 = jnp.concatenate([n_pi, n_caps, n_caps, n_caps], axis=0)
+            a4, logp4, _ = mlp.sac_sample_with_noise(mean4, log_std4, noise4)
+            a4c = jnp.clip(a4, -cfg.max_action, cfg.max_action)
+            a_pi, logp = a4[:B], logp4[:B]
+            q1, q2 = q12_fn(obs, a_pi)
+            loss = -(jnp.minimum(q1, q2) - alpha * logp).mean()
+            caps = regularizers.caps_terms(
+                cfg, agent.agent_id, a4c[B:2 * B], a4c[2 * B:3 * B],
+                a4c[3 * B:])
         if agent.defs.actor_spectral is not None:
             ws, extras = agent.defs.actor_spectral(ap)
             loss = loss + 1e-5 * regularizers.spectral_norm_regularization(
                 ws, ks[2], extras)
-        # CAPS (sac.py:194-195) — SAC uses sampled actions (policy_reg:9-11)
-        def act_fn(o):
-            a, _, _ = agent.sample_f(apf, o, ks[5])
-            return a
-        loss = loss + regularizers.caps_regularization(
-            cfg, agent.agent_id, act_fn, obs, next_obs, ks[3])
+        loss = loss + caps
         return loss, logp
 
     (aloss, logp), agrad = jax.value_and_grad(actor_loss_fn, has_aux=True)(

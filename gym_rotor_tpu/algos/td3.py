@@ -29,6 +29,15 @@ from .common import make_optimizer, mse, pmean_if, soft_update
 from .replay import Batch
 
 
+# Evaluate the update's four twin-Q forwards as ONE vmapped forward over
+# stacked params.  Measured OFF on TPU v5e: any op carrying a leading
+# params-batch dim (gathers, batched dot_generals) lowers poorly there —
+# stacking costs +6.5 ms/update on the flagship (scripts/update_path_probe
+# full vs no_stack) even with the scatter-free bilinear.  The code path is
+# kept (and equivalence-tested) because the trade-off is backend-specific.
+STACK_CRITIC_FWDS = False
+
+
 class ModelDefs(NamedTuple):
     """Static module definitions + optional spectral-norm weight extractors
     (set for EMLP models, None for MLPs).
@@ -44,6 +53,13 @@ class ModelDefs(NamedTuple):
     critic_fast: Any = None
     actor_fold: Optional[Callable] = None
     critic_fold: Optional[Callable] = None
+    # Stacked-critic machinery (Q critics only): ``critic_single`` applies
+    # ONE of the twin networks to a param subtree from ``critic_split``, so
+    # several (params, input) twin evaluations run as one vmapped forward —
+    # the learner-update op-count optimization (see _train_one).
+    critic_single: Any = None
+    critic_single_fast: Any = None
+    critic_split: Optional[Callable] = None
 
 
 @struct.dataclass
@@ -173,7 +189,7 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
     next_obs = batch.next_obs[i]
     done = batch.done[i]
 
-    # ----- target Q (td3.py:123-154)
+    # ----- target-policy smoothing action (td3.py:123-137)
     if agent.is_ctde:
         next_acts = []
         kk = k_noise
@@ -186,35 +202,51 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                 -cfg.noise_clip, cfg.noise_clip)
             next_acts.append(
                 jnp.clip(a_next + noise, -cfg.max_action, cfg.max_action))
-        cat_next_obs = jnp.concatenate(batch.next_obs, axis=-1)
-        cat_next_act = jnp.concatenate(next_acts, axis=-1)
-        tq1, tq2 = _critic_apply_f(agent,
-                                   agent.fold_critic(state.critic_target),
-                                   cat_next_obs, cat_next_act)
+        t_obs = jnp.concatenate(batch.next_obs, axis=-1)
+        t_act = jnp.concatenate(next_acts, axis=-1)
+        c_obs = jnp.concatenate(batch.obs, axis=-1)
+        c_act = jnp.concatenate(batch.act, axis=-1)
     else:
         a_next = agent.act_f(agent.fold_actor(state.actor_target), next_obs)
         noise = jnp.clip(
             cfg.target_noise * jax.random.normal(k_noise, a_next.shape),
             -cfg.noise_clip, cfg.noise_clip)
-        a_next = jnp.clip(a_next + noise, -cfg.max_action, cfg.max_action)
-        tq1, tq2 = _critic_apply_f(agent,
-                                   agent.fold_critic(state.critic_target),
-                                   next_obs, a_next)
-    target_q = rwd + cfg.discount * (1.0 - done) * jnp.minimum(tq1, tq2)
-    target_q = jax.lax.stop_gradient(target_q)
-
-    if agent.is_ctde:
-        c_obs = jnp.concatenate(batch.obs, axis=-1)
-        c_act = jnp.concatenate(batch.act, axis=-1)
-    else:
+        t_obs = next_obs
+        t_act = jnp.clip(a_next + noise, -cfg.max_action, cfg.max_action)
         c_obs, c_act = obs, act
 
-    # ----- critic update (td3.py:156-171)
+    # ----- critic update (td3.py:138-171)
+    # Stacked path (critic_split set): the four twin-Q evaluations this
+    # update needs — target net1/net2 on (s', a') and current net1/net2 on
+    # (s, a) — run as ONE vmapped single-net forward over stacked params and
+    # inputs.  Per-network math is identical (the nets are row/slice
+    # independent); what changes is the op count: one forward+backward graph
+    # instance instead of four forwards + two backwards, which is what the
+    # EMLP learner's wall time is made of (scripts/update_path_probe.py:
+    # ~8.3 ms/update = ~4.4k-instruction HLO, overhead not FLOPs).
+    tpf = agent.fold_critic(state.critic_target)
+    split = agent.defs.critic_split
+    single_def = (agent.defs.critic_single_fast if agent.use_fold
+                  else agent.defs.critic_single)
+
     def critic_loss_fn(cp):
         # fold INSIDE the loss so the gradient flows through the projection
         # (preserving the reference's full-space AdamW state, nn.py:26-36;
         # spectral reg sees the raw weights like the reference's traversal)
-        q1, q2 = _critic_apply_f(agent, agent.fold_critic(cp), c_obs, c_act)
+        cpf = agent.fold_critic(cp)
+        if split is not None and STACK_CRITIC_FWDS:
+            t1, t2 = split(tpf)
+            c1, c2 = split(cpf)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), t1, t2, c1, c2)
+            so = jnp.stack([t_obs, t_obs, c_obs, c_obs])
+            sa = jnp.stack([t_act, t_act, c_act, c_act])
+            q = jax.vmap(single_def.apply)(stacked, so, sa)      # (4, B, 1)
+            tq1, tq2, q1, q2 = q[0], q[1], q[2], q[3]
+        else:
+            tq1, tq2 = _critic_apply_f(agent, tpf, t_obs, t_act)
+            q1, q2 = _critic_apply_f(agent, cpf, c_obs, c_act)
+        target_q = jax.lax.stop_gradient(
+            rwd + cfg.discount * (1.0 - done) * jnp.minimum(tq1, tq2))
         loss = mse(q1, target_q) + mse(q2, target_q)
         if agent.defs.critic_spectral is not None:
             ws, extras = agent.defs.critic_spectral(cp)
@@ -234,36 +266,46 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         # the (just-updated) critic is a constant inside the actor loss:
         # fold it once outside the differentiated closure
         critic_f = agent.fold_critic(critic)
+        if split is not None:
+            c1f, _ = split(critic_f)                 # net2 never evaluated
+
+            def q1_fn(o, a):
+                return single_def.apply(c1f, o, a)
+        else:
+            def q1_fn(o, a):
+                return _critic_apply_f(agent, critic_f, o, a)[0]
 
         def actor_loss_fn(ap):
-            # one fold, fanned out to the main forward + the CAPS forwards
+            # one fold; ONE actor forward serves the policy action AND both
+            # CAPS comparisons — [obs; obs_next; obs+eps] stacked along the
+            # batch (row-independent nets => per-row results identical to
+            # three separate forwards)
             apf = agent.fold_actor(ap)
+            eps = regularizers.caps_noise(cfg, k_caps, obs)
+            obs3 = jnp.concatenate([obs, next_obs, obs + eps], axis=0)
+            a3 = jnp.clip(agent.act_f(apf, obs3), -cfg.max_action,
+                          cfg.max_action)
+            a_cur, a_nxt, a_prt = jnp.split(a3, 3, axis=0)
             if agent.is_ctde:
                 # all agents' *current* actors (td3.py:181)
                 acts = [
-                    jnp.clip(
-                        other.act_f(
-                            other.fold_actor(states[j].actor) if j != i
-                            else apf,
-                            batch.obs[j]),
+                    a_cur if j == i else jnp.clip(
+                        other.act_f(other.fold_actor(states[j].actor),
+                                    batch.obs[j]),
                         -cfg.max_action, cfg.max_action)
                     for j, other in enumerate(agents)
                 ]
-                q1, _ = _critic_apply_f(agent, critic_f, c_obs,
-                                        jnp.concatenate(acts, axis=-1))
+                q1 = q1_fn(c_obs, jnp.concatenate(acts, axis=-1))
             else:
-                pi = jnp.clip(agent.act_f(apf, obs), -cfg.max_action,
-                              cfg.max_action)
-                q1, _ = _critic_apply_f(agent, critic_f, obs, pi)
+                q1 = q1_fn(obs, a_cur)
             loss = -q1.mean()
             if agent.defs.actor_spectral is not None:
                 ws, extras = agent.defs.actor_spectral(ap)
                 loss = loss + 1e-5 * regularizers.spectral_norm_regularization(
                     ws, k_spec2, extras)
             # CAPS smoothness (td3.py:196)
-            loss = loss + regularizers.caps_regularization(
-                cfg, agent.agent_id, lambda o: agent.act_f(apf, o),
-                obs, next_obs, k_caps)
+            loss = loss + regularizers.caps_terms(
+                cfg, agent.agent_id, a_cur, a_nxt, a_prt)
             return loss
 
         aloss, agrad = jax.value_and_grad(actor_loss_fn)(state.actor)

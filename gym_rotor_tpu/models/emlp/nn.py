@@ -217,8 +217,9 @@ def _bilinear_struct(rep: SumRep):
     big = []
     col_groups: dict = {}
     row_groups: dict = {}
-    s1_rows, s1_cols, s1_sels, s1_pidx = [], [], [], []
+    s1_ios, s1_cols, s1_sels, s1_pidx = [], [], [], []
     wdim = 0
+    tau_io = {t.key: j for j, t in enumerate(tg)}
     for io, to in enumerate(tg):
         for ii, ti in enumerate(tg):
             tau = product_type_key(to.atom, ti.atom)
@@ -239,26 +240,32 @@ def _bilinear_struct(rep: SumRep):
                         dict(off=off, col=int(ti.indices[0]), gate=gate))
                 elif mi >= 2:  # mo == 1
                     row_groups.setdefault(ii, []).append(
-                        dict(off=off, row=int(to.indices[0]), gate=gate))
+                        dict(off=off, io=io, gate=gate))
                 else:
-                    s1_rows.append(int(to.indices[0]))
+                    s1_ios.append(io)
                     s1_cols.append(int(ti.indices[0]))
                     s1_sels.append(gate)
                     s1_pidx.append(off)
                 continue
             n = min(xt.mult, d_tau)
             slots = to.mult * ti.mult
-            pairs.append(dict(io=io, ii=ii, tau=tau, n=n, sel=bids[tau],
-                              offset=wdim, slots=slots))
+            pairs.append(dict(io=io, ii=ii, tau=tau, tau_io=tau_io[tau],
+                              n=n, sel=bids[tau], offset=wdim, slots=slots))
             wdim += slots * n
     s1 = None
-    if s1_rows:
+    if s1_ios:
         s1 = dict(
-            rows=np.asarray(s1_rows), cols=np.asarray(s1_cols),
+            ios=np.asarray(s1_ios), cols=np.asarray(s1_cols),
             sels=np.asarray(s1_sels), pidx=np.asarray(s1_pidx),
         )
+    # Type-major assembly map: concatenating per-type output blocks in tg
+    # order yields the output up to a static coordinate permutation;
+    # out = out_tm[:, pos] where pos[c] = position of coordinate c.
+    cat_idx = np.concatenate([t.indices for t in tg])
+    pos = np.empty_like(cat_idx)
+    pos[cat_idx] = np.arange(cat_idx.size)
     return tg, dict(pairs=pairs, big=big, col_groups=col_groups,
-                    row_groups=row_groups, s1=s1), wdim
+                    row_groups=row_groups, s1=s1, pos=pos), wdim
 
 
 class EquivBiLinear(nn.Module):
@@ -277,12 +284,23 @@ class EquivBiLinear(nn.Module):
         bshape = x.shape[:-1]
         xf = x.reshape((-1, x.shape[-1]))
         B = xf.shape[0]
-        out = jnp.zeros_like(xf)
+        # Scatter-free assembly: every path adds its contribution to a
+        # per-output-type accumulator (plain adds on (B, mult*d) blocks);
+        # the output is the type-major concatenation re-ordered by ONE
+        # static permutation gather (st["pos"]).  The previous formulation
+        # scatter-added each block into the rep-ordered output — on TPU a
+        # scatter is far costlier than a gather, and rank-3 scatters under
+        # vmap (the stacked twin-critic path, algos/td3.py) are costlier
+        # still; measured as the dominant per-update overhead.
+        acc = {}
+
+        def add(io, val):
+            acc[io] = acc[io] + val if io in acc else val
+
         if st["pairs"]:
             # group x by type
             xg = {t.key: xf[:, t.indices].reshape(B, t.mult, t.atom.size)
                   for t in tg}
-            y_per_type = {}
             for p in st["pairs"]:
                 to, ti = tg[p["io"]], tg[p["ii"]]
                 do, mo = to.atom.size, to.mult
@@ -293,21 +311,13 @@ class EquivBiLinear(nn.Module):
                 blocks = jnp.einsum("kn,bnd->bkd", w, x_tau)
                 blocks = blocks.reshape(B, mo, mi, do, di)
                 y = jnp.einsum("bomde,bme->bod", blocks, xg[ti.key])
-                if to.key in y_per_type:
-                    y_per_type[to.key] = y_per_type[to.key] + y
-                else:
-                    y_per_type[to.key] = y
-            for t in tg:
-                if t.key in y_per_type:
-                    out = out.at[:, t.indices].add(
-                        y_per_type[t.key].reshape(B, t.mult * t.atom.size))
+                add(p["io"], y.reshape(B, mo * do))
         for p in st["big"]:
             # scalar-gated matmul: out_to += x_gate * (x_ti @ W^T)
             to, ti = tg[p["io"]], tg[p["ii"]]
             W = params[p["off"]:p["off"] + to.mult * ti.mult]
             W = W.reshape(to.mult, ti.mult)
-            y = (xf[:, ti.indices] @ W.T) * xf[:, p["gate"]][:, None]
-            out = out.at[:, to.indices].add(y)
+            add(p["io"], (xf[:, ti.indices] @ W.T) * xf[:, p["gate"]][:, None])
         for io, grp in st["col_groups"].items():
             # stacked mult_in==1 pairs: Z[:, j] = gate_j * x_col_j
             to = tg[io]
@@ -316,22 +326,41 @@ class EquivBiLinear(nn.Module):
             Ws = jnp.stack(
                 [params[g["off"]:g["off"] + to.mult] for g in grp])  # (J,mo)
             Z = xf[:, gates] * xf[:, cols]                           # (B,J)
-            out = out.at[:, to.indices].add(Z @ Ws)
+            add(io, Z @ Ws)
+        # row_groups + s1 target size-1 type blocks (one tm coordinate
+        # each); their columns are joined and routed by ONE static 0/1
+        # matmul instead of per-entry adds (agent-1's Mirror tower has
+        # ~1.8k s1 entries — per-entry anything is off the table)
+        tm_off = np.concatenate(
+            [[0], np.cumsum([t.mult * t.atom.size for t in tg])])
+        small_cols, small_coords = [], []
         for ii, grp in st["row_groups"].items():
             # stacked mult_out==1 pairs: Y[:, j] = gate_j * (x_ti . w_j)
             ti = tg[ii]
-            rows = np.asarray([g["row"] for g in grp])
             gates = np.asarray([g["gate"] for g in grp])
             Wr = jnp.stack(
                 [params[g["off"]:g["off"] + ti.mult] for g in grp],
                 axis=1)                                              # (mi,J)
             Y = (xf[:, ti.indices] @ Wr) * xf[:, gates]              # (B,J)
-            out = out.at[:, rows].add(Y)
+            small_cols.append(Y)
+            small_coords.append(np.asarray([tm_off[g["io"]] for g in grp]))
         s1 = st["s1"]
         if s1 is not None:
             w1 = params[s1["pidx"]]                            # (P,)
             contrib = w1 * xf[:, s1["sels"]] * xf[:, s1["cols"]]
-            out = out.at[:, s1["rows"]].add(contrib)
+            small_cols.append(contrib)
+            small_coords.append(tm_off[s1["ios"]])
+        out_tm = jnp.concatenate(
+            [acc[io] if io in acc
+             else jnp.zeros((B, t.mult * t.atom.size), xf.dtype)
+             for io, t in enumerate(tg)], axis=-1)
+        if small_cols:
+            Yall = jnp.concatenate(small_cols, axis=-1)       # (B, Jtot)
+            coords = np.concatenate(small_coords)
+            route = np.zeros((coords.size, int(tm_off[-1])), np.float32)
+            route[np.arange(coords.size), coords] = 1.0
+            out_tm = out_tm + Yall @ jnp.asarray(route, xf.dtype)
+        out = out_tm[:, st["pos"]]
         return (0.1 * out).reshape(bshape + (x.shape[-1],))
 
 

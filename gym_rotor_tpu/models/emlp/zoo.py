@@ -139,6 +139,33 @@ class EMLPCriticTwin(nn.Module):
                     project=self.project)(x)
 
 
+class EMLPCriticSingle(nn.Module):
+    """ONE equivariant Q network with EMLPCriticTwin's architecture, applied
+    to param subtrees from ``emlp_twin_split`` — the vehicle for evaluating
+    several (params, input) twin-critic combinations as one vmapped forward
+    (algos/td3.py stacked critic path)."""
+    rep_in: SumRep
+    hidden: SumRep
+    rep_out: SumRep
+    hidden_num: int = 2
+    project: bool = True
+
+    @nn.compact
+    def __call__(self, obs, act):
+        x = jnp.concatenate([obs, act], axis=-1)
+        reps = (self.rep_in,) + (self.hidden,) * self.hidden_num
+        return EMLP(reps, self.rep_out, name="network",
+                    project=self.project)(x)
+
+
+def emlp_twin_split(params):
+    """Twin param tree -> (net1 params, net2 params) for EMLPCriticSingle.
+    Pure relabeling (no copies under jit)."""
+    p = params["params"] if "params" in params else params
+    return ({"params": {"network": p["network1"]}},
+            {"params": {"network": p["network2"]}})
+
+
 class EMLPActorSAC(nn.Module):
     """Gaussian EMLP actor: equivariant trunk + mean head; the log_std head
     is a plain Dense tapping the last hidden layer (sac_emlp.py:57-86)."""
@@ -225,13 +252,20 @@ def _with_fold(actor_def, critic_def, a_in, c_in, critic_is_q=True):
     )
 
 
+def _q_single(c_in, c_hid, c_out):
+    single = EMLPCriticSingle(c_in, c_hid, c_out)
+    return dict(critic_single=single, critic_single_fast=fast_twin(single),
+                critic_split=emlp_twin_split)
+
+
 def td3_models(cfg: Config, agent_id: int) -> ModelDefs:
     a_in, a_hid, a_out = actor_reps(cfg, cfg.framework, agent_id)
     c_in, c_hid, c_out = critic_reps(cfg, cfg.framework, agent_id,
                                      cfg.module_training)
     return ModelDefs(**_with_fold(
         EMLPActorDet(a_in, a_hid, a_out),
-        EMLPCriticTwin(c_in, c_hid, c_out), a_in, c_in))
+        EMLPCriticTwin(c_in, c_hid, c_out), a_in, c_in),
+        **_q_single(c_in, c_hid, c_out))
 
 
 def sac_models(cfg: Config, agent_id: int) -> ModelDefs:
@@ -240,7 +274,8 @@ def sac_models(cfg: Config, agent_id: int) -> ModelDefs:
                                      cfg.module_training)
     return ModelDefs(**_with_fold(
         EMLPActorSAC(a_in, a_hid, a_out, cfg.action_dim_n[agent_id]),
-        EMLPCriticTwin(c_in, c_hid, c_out), a_in, c_in))
+        EMLPCriticTwin(c_in, c_hid, c_out), a_in, c_in),
+        **_q_single(c_in, c_hid, c_out))
 
 
 def ppo_models(cfg: Config, agent_id: int) -> ModelDefs:

@@ -69,6 +69,33 @@ class CriticTwin(nn.Module):
         return nn.Dense(1, name="q1_fc3")(q1)
 
 
+class CriticSingle(nn.Module):
+    """ONE Q network with CriticTwin's architecture, applied to param
+    subtrees extracted by ``critic_twin_split`` — the vehicle for running
+    several (params, input) twin-critic evaluations as one vmapped forward
+    (algos/td3.py stacked critic path)."""
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, obs, action):
+        sa = jnp.concatenate([obs, action], axis=-1)
+        q = nn.relu(nn.Dense(self.hidden_dim, name="fc1")(sa))
+        q = nn.relu(nn.Dense(self.hidden_dim, name="fc2")(q))
+        return nn.Dense(1, name="fc3")(q)
+
+
+def critic_twin_split(params):
+    """Twin param tree -> (net1 params, net2 params) for CriticSingle.
+    Pure relabeling (no copies under jit)."""
+    p = params["params"] if "params" in params else params
+
+    def sub(pref):
+        return {"params": {"fc1": p[f"{pref}_fc1"], "fc2": p[f"{pref}_fc2"],
+                           "fc3": p[f"{pref}_fc3"]}}
+
+    return sub("q1"), sub("q2")
+
+
 def _xavier_dense(features, name=None):
     return nn.Dense(
         features, name=name,
@@ -95,8 +122,15 @@ class ActorSAC(nn.Module):
 def sac_sample(mean, log_std, key):
     """Reparameterized tanh-squashed sample + corrected log-prob
     (sac_mlp.py:55-78).  Returns (action, log_prob, deterministic_action)."""
-    std = jnp.exp(log_std)
     noise = jax.random.normal(key, mean.shape, mean.dtype)
+    return sac_sample_with_noise(mean, log_std, noise)
+
+
+def sac_sample_with_noise(mean, log_std, noise):
+    """sac_sample with the N(0,1) draw supplied by the caller — used to fuse
+    several sample-forwards into one batched forward while keeping each
+    block's noise stream exactly what the separate calls drew."""
+    std = jnp.exp(log_std)
     x_t = mean + std * noise
     action = jnp.tanh(x_t)
     # Normal log-prob

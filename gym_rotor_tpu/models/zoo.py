@@ -19,6 +19,12 @@ def _dims(cfg: Config, agent_id: int):
             cfg.actor_hidden_dim[agent_id], cfg.critic_hidden_dim)
 
 
+def _mlp_q_single(ch):
+    return dict(critic_single=mlp.CriticSingle(hidden_dim=ch),
+                critic_single_fast=mlp.CriticSingle(hidden_dim=ch),
+                critic_split=mlp.critic_twin_split)
+
+
 def td3_models(cfg: Config, agent_id: int) -> ModelDefs:
     obs_dim, act_dim, ah, ch = _dims(cfg, agent_id)
     if cfg.use_equiv:
@@ -27,6 +33,7 @@ def td3_models(cfg: Config, agent_id: int) -> ModelDefs:
     return ModelDefs(
         actor_def=mlp.ActorTD3(hidden_dim=ah, action_dim=act_dim),
         critic_def=mlp.CriticTwin(hidden_dim=ch),
+        **_mlp_q_single(ch),
     )
 
 
@@ -38,6 +45,7 @@ def sac_models(cfg: Config, agent_id: int) -> ModelDefs:
     return ModelDefs(
         actor_def=mlp.ActorSAC(hidden_dim=ah, action_dim=act_dim),
         critic_def=mlp.CriticTwin(hidden_dim=ch),
+        **_mlp_q_single(ch),
     )
 
 

@@ -55,9 +55,32 @@ def make_batch(cfg, key):
     )
 
 
-def build(cfg, strip_spectral=False, strip_caps=False):
+def _solo_spectral(weights, key, extras=(), iters=10):
+    """The pre-batching per-matrix spectral regularizer (probe ablation)."""
+    import jax.numpy as jnp
+    from gym_rotor_tpu.algos.regularizers import approx_spectral_norm
+    total = 0.0
+    for i, W in enumerate(weights):
+        total = total + approx_spectral_norm(
+            W, jax.random.fold_in(key, i), iters) ** 2
+    for e in extras:
+        total = total + jnp.sum(e * e)
+    return total
+
+
+def build(cfg, strip_spectral=False, strip_caps=False, strip_stack=False,
+          solo_spectral=False):
     agents = [td3_lib.TD3Agent(cfg, i, td3_models(cfg, i))
               for i in range(cfg.n_agents)]
+    if strip_stack:
+        for a in agents:
+            a.defs = a.defs._replace(critic_split=None)
+    if solo_spectral:
+        from gym_rotor_tpu.algos import regularizers
+        orig_s = regularizers.spectral_norm_regularization
+        regularizers.spectral_norm_regularization = _solo_spectral
+        build.restore_s = lambda: setattr(
+            regularizers, "spectral_norm_regularization", orig_s)
     if strip_spectral:
         for a in agents:
             a.defs = a.defs._replace(actor_spectral=None, critic_spectral=None)
@@ -129,6 +152,9 @@ def time_variant(name, cfg, k, hlo=False, **strip):
     if getattr(build, "restore", None):
         build.restore()
         build.restore = None
+    if getattr(build, "restore_s", None):
+        build.restore_s()
+        build.restore_s = None
     print(json.dumps(out))
     return out
 
@@ -149,6 +175,10 @@ def main():
 
     variants = {
         "full": (Config(**emlp), {}),
+        "no_stack": (Config(**emlp), dict(strip_stack=True)),
+        "solo_spectral": (Config(**emlp), dict(solo_spectral=True)),
+        "no_stack_solo": (Config(**emlp),
+                          dict(strip_stack=True, solo_spectral=True)),
         "fold": (Config(equiv_fold=True, **emlp), {}),
         "no_spectral": (Config(**emlp), dict(strip_spectral=True)),
         "no_caps": (Config(**emlp), dict(strip_caps=True)),

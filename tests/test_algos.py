@@ -300,3 +300,35 @@ def test_insert_tick_wraparound_keeps_newest():
     # ring holds exactly ticks 3 and 4 (rows 12..19), wrapped
     vals = np.asarray(rs.obs[0])[:, 0]
     assert sorted(vals.tolist()) == [3.0] * 4 + [4.0] * 4
+
+
+def test_batched_spectral_norm_matches_per_matrix_oracle():
+    """The batched (padded+stacked) spectral regularizer must equal the
+    per-matrix power iteration it replaced — same fold_in(key, i) x0 draws,
+    same 10-step dynamics (padding is exact, see regularizers.py) — in value
+    and gradient."""
+    from gym_rotor_tpu.algos import regularizers as R
+
+    key = jax.random.PRNGKey(3)
+    shapes = [(16, 25), (62, 67), (4, 7), (62, 62), (1, 62)]
+    ws = [jax.random.normal(jax.random.fold_in(key, 100 + i), s)
+          for i, s in enumerate(shapes)]
+    extras = [jax.random.normal(jax.random.fold_in(key, 200), (33,))]
+
+    def solo(weights, k, ex):
+        total = 0.0
+        for i, W in enumerate(weights):
+            total = total + R.approx_spectral_norm(
+                W, jax.random.fold_in(k, i)) ** 2
+        for e in ex:
+            total = total + jnp.sum(e * e)
+        return total
+
+    a = float(solo(ws, key, extras))
+    b = float(R.spectral_norm_regularization(ws, key, extras))
+    assert abs(a - b) / abs(a) < 1e-6
+    ga = jax.grad(lambda w: solo(w, key, extras))(ws)
+    gb = jax.grad(lambda w: R.spectral_norm_regularization(w, key, extras))(ws)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
