@@ -173,15 +173,24 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
     critic_fv = agent.fold_critic(state.critic)  # one fold, two forwards
 
     def v_apply(o):
-        # Batched (T, B, d) horizons evaluate the critic one time-slice at a
-        # time: the EMLP bilinear layer materializes a (rows, n_slots)
-        # gather intermediate (n_slots ~ 9.4k for the V-critic), which on a
-        # flattened T*B horizon is O(GB) — at 4096 envs x 50 ticks it alone
-        # exceeded HBM (21.9G peak, measured). Per-slice application caps
-        # the intermediate at (B, n_slots) with identical results.
+        # Batched (T, B, d) horizons evaluate the critic in time-slice
+        # CHUNKS: the EMLP bilinear materializes (rows, n_slots)
+        # intermediates (n_slots ~ 1.8k for the Mirror-tower V-critic), so
+        # a fully flattened T*B horizon is O(GB) — at 4096 envs x 50 ticks
+        # the pre-chunking flat path exceeded HBM (21.9G peak, measured).
+        # Chunking caps the intermediate at (C*B, n_slots) while cutting
+        # the number of sequential critic forwards T/C-fold vs the old
+        # strictly per-slice lax.map (identical results either way).
         if o.ndim == 3:
-            return jax.lax.map(
-                lambda ot: agent.critic_apply_def.apply(critic_fv, ot), o)
+            T, B = o.shape[0], o.shape[1]
+            target = max(32768 // max(B, 1), 1)
+            C = max([d for d in range(1, T + 1)
+                     if T % d == 0 and d <= target], default=1)
+            chunked = o.reshape(T // C, C * B, o.shape[-1])
+            out = jax.lax.map(
+                lambda oc: agent.critic_apply_def.apply(critic_fv, oc),
+                chunked)
+            return out.reshape(T, B, -1)
         return agent.critic_apply_def.apply(critic_fv, o)
 
     values = v_apply(v_obs)
@@ -225,8 +234,15 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
             no = next_obs_i[idx]
 
             def loss_fn(ap):
-                apf = agent.fold_actor(ap)  # one fold for main + CAPS fwds
-                mean, log_std = agent.dist_f(apf, o)
+                # one fold; ONE actor forward serves the surrogate loss AND
+                # both CAPS comparisons — [o; o_next; o+eps] stacked along
+                # the batch (row-independent nets)
+                apf = agent.fold_actor(ap)
+                eps = regularizers.caps_noise(cfg, k_caps, o)
+                o3 = jnp.concatenate([o, no, o + eps], axis=0)
+                mean3, log_std3 = agent.dist_f(apf, o3)
+                mb = o.shape[0]
+                mean, log_std = mean3[:mb], log_std3[:mb]
                 entropy = jnp.sum(mlp.gaussian_entropy(log_std), axis=-1,
                                   keepdims=True)
                 lp = mlp.gaussian_logprob(mean, log_std, a)
@@ -241,9 +257,10 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
                     loss = loss + 1e-5 * \
                         regularizers.spectral_norm_regularization(
                             ws, k_spec, extras)
-                loss = loss + regularizers.caps_regularization(
-                    cfg, agent.agent_id,
-                    lambda oo: agent.dist_f(apf, oo)[0], o, no, k_caps)
+                m3c = jnp.clip(mean3, -cfg.max_action, cfg.max_action)
+                loss = loss + regularizers.caps_terms(
+                    cfg, agent.agent_id, m3c[:mb], m3c[mb:2 * mb],
+                    m3c[2 * mb:])
                 return loss
 
             al, ag = jax.value_and_grad(loss_fn)(actor)
