@@ -126,12 +126,14 @@ def spectral_norm_regularization(weights, key, extras=(), iters: int = 10):
                     (0, mi - W.shape[1]))
             for i, W in enumerate(weights)])                # (K, mi)
 
-        def body(_, x):
+        # statically unrolled: a lax loop would keep each tiny batched
+        # matvec pair in its own sequential iteration (plus per-iteration
+        # loop overhead in forward AND backward); unrolled, XLA schedules
+        # the whole chain as straight-line code
+        for _ in range(iters):
             y = jnp.einsum("kij,kj->ki", Ws, x)             # (K, mo)
             x = jnp.einsum("kij,ki->kj", Ws, y)             # (K, mi)
-            return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-
-        x = jax.lax.fori_loop(0, iters, body, x)
+            x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
         sigma = jnp.linalg.norm(jnp.einsum("kij,kj->ki", Ws, x), axis=-1)
         total = total + jnp.sum(sigma * sigma)
     for e in extras:
