@@ -33,6 +33,54 @@ from .reps import (Atom, Scalar, SumRep, group_by_type, pair_basis,
 BILINEAR_SEED = 2024  # fixed rng for the bilinear input sampling
 
 
+_GATHER_CACHE = {}
+
+
+def fixed_gather(x, idx, n):
+    """``x[..., idx]`` with a scatter-free backward.
+
+    The autodiff transpose of a gather is a scatter-add — the costliest op
+    class on TPU (measured: agent-1's Mirror-tower critic BACKWARD was
+    2.8x its forward purely from the duplicate-index gathers' transposes,
+    scripts/unit_cost_probe.py).  This custom-vjp gather keeps the cheap
+    forward and rewrites the backward as:
+
+    * an inverse-permutation gather when ``idx`` permutes 0..n-1 (the
+      type-major assembly in EquivBiLinear), or
+    * one (J, n) 0/1 matmul otherwise (duplicates sum on the MXU, which is
+      exactly what the scatter-add computed serially).
+
+    ``idx``: static numpy int array of source columns; ``n``: source width.
+    """
+    key = (idx.tobytes(), int(n))
+    fn = _GATHER_CACHE.get(key)
+    if fn is None:
+        idx_c = np.asarray(idx)
+        is_perm = (idx_c.size == n
+                   and np.array_equal(np.sort(idx_c), np.arange(n)))
+        if is_perm:
+            inv = np.argsort(idx_c)
+        else:
+            route = np.zeros((idx_c.size, n), np.float32)
+            route[np.arange(idx_c.size), idx_c] = 1.0
+
+        @jax.custom_vjp
+        def g(x):
+            return x[..., idx_c]
+
+        def g_fwd(x):
+            return x[..., idx_c], None
+
+        def g_bwd(_, ct):
+            if is_perm:
+                return (ct[..., inv],)
+            return (ct @ jnp.asarray(route, ct.dtype),)
+
+        g.defvjp(g_fwd, g_bwd)
+        fn = _GATHER_CACHE[key] = g
+    return fn(x)
+
+
 def gated(rep: SumRep) -> SumRep:
     """Append one gate scalar per non-scalar, non-permutation atom
     (nn.py:58-65)."""
@@ -297,10 +345,11 @@ class EquivBiLinear(nn.Module):
         def add(io, val):
             acc[io] = acc[io] + val if io in acc else val
 
+        nin = xf.shape[-1]
         if st["pairs"]:
             # group x by type
-            xg = {t.key: xf[:, t.indices].reshape(B, t.mult, t.atom.size)
-                  for t in tg}
+            xg = {t.key: fixed_gather(xf, t.indices, nin)
+                  .reshape(B, t.mult, t.atom.size) for t in tg}
             for p in st["pairs"]:
                 to, ti = tg[p["io"]], tg[p["ii"]]
                 do, mo = to.atom.size, to.mult
@@ -317,7 +366,9 @@ class EquivBiLinear(nn.Module):
             to, ti = tg[p["io"]], tg[p["ii"]]
             W = params[p["off"]:p["off"] + to.mult * ti.mult]
             W = W.reshape(to.mult, ti.mult)
-            add(p["io"], (xf[:, ti.indices] @ W.T) * xf[:, p["gate"]][:, None])
+            add(p["io"],
+                (fixed_gather(xf, ti.indices, nin) @ W.T)
+                * fixed_gather(xf, np.asarray([p["gate"]]), nin))
         for io, grp in st["col_groups"].items():
             # stacked mult_in==1 pairs: Z[:, j] = gate_j * x_col_j
             to = tg[io]
@@ -325,7 +376,8 @@ class EquivBiLinear(nn.Module):
             gates = np.asarray([g["gate"] for g in grp])
             Ws = jnp.stack(
                 [params[g["off"]:g["off"] + to.mult] for g in grp])  # (J,mo)
-            Z = xf[:, gates] * xf[:, cols]                           # (B,J)
+            Z = (fixed_gather(xf, gates, nin)
+                 * fixed_gather(xf, cols, nin))                      # (B,J)
             add(io, Z @ Ws)
         # row_groups + s1 target size-1 type blocks (one tm coordinate
         # each); their columns are joined and routed by ONE static 0/1
@@ -341,13 +393,15 @@ class EquivBiLinear(nn.Module):
             Wr = jnp.stack(
                 [params[g["off"]:g["off"] + ti.mult] for g in grp],
                 axis=1)                                              # (mi,J)
-            Y = (xf[:, ti.indices] @ Wr) * xf[:, gates]              # (B,J)
+            Y = (fixed_gather(xf, ti.indices, nin) @ Wr) \
+                * fixed_gather(xf, gates, nin)                       # (B,J)
             small_cols.append(Y)
             small_coords.append(np.asarray([tm_off[g["io"]] for g in grp]))
         s1 = st["s1"]
         if s1 is not None:
             w1 = params[s1["pidx"]]                            # (P,)
-            contrib = w1 * xf[:, s1["sels"]] * xf[:, s1["cols"]]
+            contrib = (w1 * fixed_gather(xf, s1["sels"], nin)
+                       * fixed_gather(xf, s1["cols"], nin))
             small_cols.append(contrib)
             small_coords.append(tm_off[s1["ios"]])
         out_tm = jnp.concatenate(
@@ -360,7 +414,7 @@ class EquivBiLinear(nn.Module):
             route = np.zeros((coords.size, int(tm_off[-1])), np.float32)
             route[np.arange(coords.size), coords] = 1.0
             out_tm = out_tm + Yall @ jnp.asarray(route, xf.dtype)
-        out = out_tm[:, st["pos"]]
+        out = fixed_gather(out_tm, st["pos"], out_tm.shape[-1])
         return (0.1 * out).reshape(bshape + (x.shape[-1],))
 
 
@@ -370,7 +424,7 @@ class GatedNonlinearity(nn.Module):
 
     def __call__(self, values):
         idx = gate_indices(self.rep)
-        gate_scalars = values[..., idx]
+        gate_scalars = fixed_gather(values, idx, values.shape[-1])
         return jax.nn.sigmoid(gate_scalars) * values[..., :self.rep.size]
 
 

@@ -400,3 +400,32 @@ def test_generic_mlp_and_standardize():
     np.testing.assert_allclose(
         np.asarray(y2),
         3.0 * np.asarray(m.apply(params, (x - 1.0) / 2.0)) + 0.5, atol=1e-6)
+
+
+def test_fixed_gather_vjp_matches_native_autodiff():
+    """EquivBiLinear's scatter-free gather (enn.fixed_gather) must be a
+    gradient-exact replacement for plain advanced indexing in all three
+    backward regimes: inverse-permutation, duplicate-index 0/1-matmul, and
+    single-column.  (The duplicate case sums cotangents in a different —
+    matmul — order, hence the loose f32 tolerance.)"""
+    rng = np.random.default_rng(0)
+    cases = [
+        ("perm", rng.permutation(16)),
+        ("dups", rng.integers(0, 16, size=40)),
+        ("one", np.asarray([7])),
+    ]
+    x = jnp.asarray(rng.normal(size=(5, 16)), jnp.float32)
+    for name, idx in cases:
+        w = jnp.arange(1.0, idx.size + 1)
+
+        def f_fixed(x):
+            return (enn.fixed_gather(x, idx, 16) ** 2 * w).sum()
+
+        def f_plain(x):
+            return ((x[..., idx]) ** 2 * w).sum()
+
+        np.testing.assert_allclose(float(f_fixed(x)), float(f_plain(x)),
+                                   rtol=1e-6, err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f_fixed)(x)), np.asarray(jax.grad(f_plain)(x)),
+            atol=1e-4, err_msg=name)
