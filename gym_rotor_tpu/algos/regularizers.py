@@ -83,14 +83,19 @@ def caps_regularization(cfg, agent_id, act_fn, batch_obs, batch_obs_next,
 
 
 def approx_spectral_norm(W, key, iters: int = 10):
-    """Power iteration on WᵀW (spectral_norm_regularization.py:4-26)."""
+    """Power iteration on WᵀW (spectral_norm_regularization.py:4-26).
+
+    The iterate is ``stop_gradient``-ed before the final matvec (see
+    ``spectral_norm_regularization`` for the envelope-theorem argument);
+    the returned VALUE is bit-identical to differentiating through the
+    chain."""
     x = jax.random.normal(key, (W.shape[-1],), W.dtype)
 
     def body(_, x):
         x = W.T @ (W @ x)
         return x / jnp.linalg.norm(x)
 
-    x = jax.lax.fori_loop(0, iters, body, x)
+    x = jax.lax.stop_gradient(jax.lax.fori_loop(0, iters, body, x))
     return jnp.linalg.norm(W @ x)
 
 
@@ -134,6 +139,18 @@ def spectral_norm_regularization(weights, key, extras=(), iters: int = 10):
             y = jnp.einsum("kij,kj->ki", Ws, x)             # (K, mo)
             x = jnp.einsum("kij,ki->kj", Ws, y)             # (K, mi)
             x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        # Gradient divergence (documented): the reference backprops through
+        # the whole power chain (spectral_norm_regularization.py:19-23 has
+        # no detach), we stop_gradient the converged iterate v and
+        # differentiate only sigma = |W v|.  At convergence these agree
+        # EXACTLY: v maximizes |Wv| on the unit sphere, so the tangential
+        # derivative through v vanishes (envelope theorem) and
+        # d(sigma^2)/dW = 2 sigma u v^T either way; the difference is
+        # O((lambda2/lambda1)^(2*iters)) non-convergence residual on a term
+        # weighted 1e-5/1e-8.  The VALUE is bit-identical; the backward
+        # drops ~3x the chain's matvecs (20 tiny sequential einsums whose
+        # transposes dominated the regularizer's cost, round-4 probe).
+        x = jax.lax.stop_gradient(x)
         sigma = jnp.linalg.norm(jnp.einsum("kij,kj->ki", Ws, x), axis=-1)
         total = total + jnp.sum(sigma * sigma)
     for e in extras:
