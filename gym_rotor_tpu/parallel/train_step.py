@@ -92,14 +92,9 @@ def make_sharded_td3_superstep(cfg: Config, agents: Sequence, mesh: Mesh,
     env_spec = P(axis)
     rep_spec = P()
 
-    def _obs_specs():
-        n = cfg.n_agents
-        return tuple(env_spec for _ in range(n))
-
     replay_specs = replay_lib.ReplayState(
-        obs=_obs_specs(), act=_obs_specs(), rwd=_obs_specs(),
-        next_obs=_obs_specs(), done=_obs_specs(),
-        ptr=rep_spec, filled=rep_spec,
+        data=env_spec, ptr=rep_spec, filled=rep_spec,
+        dims=(tuple(cfg.obs_dim_n), tuple(cfg.action_dim_n)),
     )
 
     def body(bstate, obs, rstate, states, ep_ret, key, noise_std, *,
@@ -349,11 +344,8 @@ def shard_replay(mesh: Mesh, rstate, axis="env"):
     env_sh = NamedSharding(mesh, P(axis))
     rep_sh = NamedSharding(mesh, P())
     return replay_lib.ReplayState(
-        obs=jax.device_put(rstate.obs, env_sh),
-        act=jax.device_put(rstate.act, env_sh),
-        rwd=jax.device_put(rstate.rwd, env_sh),
-        next_obs=jax.device_put(rstate.next_obs, env_sh),
-        done=jax.device_put(rstate.done, env_sh),
+        data=jax.device_put(rstate.data, env_sh),
         ptr=jax.device_put(rstate.ptr, rep_sh),
         filled=jax.device_put(rstate.filled, rep_sh),
+        dims=rstate.dims,
     )
