@@ -69,9 +69,18 @@ def _solo_spectral(weights, key, extras=(), iters=10):
 
 
 def build(cfg, strip_spectral=False, strip_caps=False, strip_stack=False,
-          solo_spectral=False):
+          solo_spectral=False, fixed_batch=False, sgd=False):
+    if sgd:
+        import optax
+        orig_opt = td3_lib.make_optimizer
+        td3_lib.make_optimizer = lambda cfg, lr: optax.sgd(lr)
+        build.restore_o = lambda: setattr(
+            td3_lib, "make_optimizer", orig_opt)
     agents = [td3_lib.TD3Agent(cfg, i, td3_models(cfg, i))
               for i in range(cfg.n_agents)]
+    if sgd:
+        build.restore_o()
+        build.restore_o = None
     if strip_stack:
         for a in agents:
             a.defs = a.defs._replace(critic_split=None)
@@ -93,12 +102,14 @@ def build(cfg, strip_spectral=False, strip_caps=False, strip_stack=False,
             regularizers, "caps_regularization", orig)
     states = [a.init(jax.random.PRNGKey(i)) for i, a in enumerate(agents)]
 
+    batch0 = make_batch(cfg, jax.random.PRNGKey(99)) if fixed_batch else None
+
     @partial(jax.jit, static_argnums=(2,))
     def chain(states, key, k):
         def body(carry, i):
             states, key = carry
             key, kb, ku = jax.random.split(key, 3)
-            batch = make_batch(cfg, kb)
+            batch = batch0 if fixed_batch else make_batch(cfg, kb)
             states, m = td3_lib.train_step(cfg, agents, states, batch, ku)
             return (states, key), m["agent0/critic_loss"]
         (states, _), losses = jax.lax.scan(
@@ -155,6 +166,9 @@ def time_variant(name, cfg, k, hlo=False, **strip):
     if getattr(build, "restore_s", None):
         build.restore_s()
         build.restore_s = None
+    if getattr(build, "restore_o", None):
+        build.restore_o()
+        build.restore_o = None
     print(json.dumps(out))
     return out
 
@@ -175,6 +189,9 @@ def main():
 
     variants = {
         "full": (Config(**emlp), {}),
+        "fixed_batch": (Config(**emlp), dict(fixed_batch=True)),
+        "sgd": (Config(**emlp), dict(sgd=True)),
+        "fixed_sgd": (Config(**emlp), dict(fixed_batch=True, sgd=True)),
         "no_stack": (Config(**emlp), dict(strip_stack=True)),
         "solo_spectral": (Config(**emlp), dict(solo_spectral=True)),
         "no_stack_solo": (Config(**emlp),
