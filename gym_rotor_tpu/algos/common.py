@@ -1,9 +1,25 @@
-"""Shared learner plumbing: optimizers, schedules, target updates."""
+"""Shared learner plumbing: optimizers, schedules, target updates.
+
+Flat update path: every learner differentiates its loss with respect to the
+RAVELED parameter vector (jax.flatten_util.ravel_pytree) and runs the
+optimizer + Polyak chains on that single array.  AdamW/clipping are
+elementwise/global-norm transforms, so the math is identical to the per-leaf
+tree form (global norm is the same sum either way, up to fp reduction
+order); what changes is the compiled op count — one ~15-op optimizer chain
+per network instead of ~15 ops *per parameter leaf* (the flagship EMLP
+agents carry 8-16 leaves per net x 4 nets x 2 agents, which made the
+optimizer/Polyak chains the single largest slice of the learner update's
+~4.4k-instruction HLO, scripts/update_path_probe.py).  The ravel/unravel
+are pure layout ops (reshape/concat/slice) that XLA fuses into the
+neighboring elementwise work.  Under data parallelism the gradient pmean
+also becomes ONE all-reduce per network instead of one per leaf.
+"""
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax.flatten_util import ravel_pytree
 
 
 def cosine_warm_restarts(base_lr: float, t0: int = 1_000_000,
@@ -40,6 +56,20 @@ def soft_update(target_params, params, tau: float):
     return jax.tree.map(
         lambda t, p: tau * p + (1.0 - tau) * t, target_params, params
     )
+
+
+def flat_init(tx: optax.GradientTransformation, params):
+    """Optimizer state over the raveled parameter vector (flat update
+    path, module docstring)."""
+    return tx.init(ravel_pytree(params)[0])
+
+
+def flat_polyak(target_tree, flat_new, tau: float, unravel):
+    """soft_update expressed on the raveled vectors: 3 ops total instead of
+    3 per leaf.  ``flat_new`` is the freshly-updated flat parameter vector
+    (already in hand at every call site); the target tree is raveled here."""
+    flat_t, _ = ravel_pytree(target_tree)
+    return unravel(tau * flat_new + (1.0 - tau) * flat_t)
 
 
 def mse(a, b):

@@ -19,10 +19,12 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from jax.flatten_util import ravel_pytree
+
 from ..utils.config import Config
 from ..models import mlp
 from . import regularizers
-from .common import make_optimizer, pmean_if, soft_update
+from .common import flat_init, make_optimizer, pmean_if
 from .td3 import ModelDefs
 
 
@@ -82,8 +84,9 @@ class PPOAgent:
             kc, jnp.zeros((1, cdim), jnp.float32))
         return PPOState(
             actor=actor, critic=critic,
-            actor_opt=self.actor_tx.init(actor),
-            critic_opt=self.critic_tx.init(critic),
+            # flat-space optimizer states (algos/common.py module docstring)
+            actor_opt=flat_init(self.actor_tx, actor),
+            critic_opt=flat_init(self.critic_tx, critic),
             entropy_coef=jnp.asarray(cfg.entropy_coef, jnp.float32),
             total_it=jnp.zeros((), jnp.int32),
         )
@@ -233,7 +236,8 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
             ad = advs[idx]
             no = next_obs_i[idx]
 
-            def loss_fn(ap):
+            def loss_fn(aflat):
+                ap = unravel_a(aflat)  # flat update path (algos/common.py)
                 # one fold; ONE actor forward serves the surrogate loss AND
                 # both CAPS comparisons — [o; o_next; o+eps] stacked along
                 # the batch (row-independent nets)
@@ -267,7 +271,7 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
             ag = pmean_if(ag, axis_name)
             au, aopt = agent.actor_tx.update(ag, aopt, actor)
             actor = optax.apply_updates(actor, au)
-            return (actor, aopt), al
+            return (actor, aopt), al  # carry is the FLAT actor vector
 
         idxs_a = perm[: n_mb_a * mb_a].reshape(n_mb_a, mb_a)
         (actor, aopt), alosses = jax.lax.scan(actor_mb, (actor, aopt), idxs_a)
@@ -278,7 +282,8 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
             vo = v_obs[idx]
             tt = td_targets[idx]
 
-            def loss_fn(cp):
+            def loss_fn(cflat):
+                cp = unravel_c(cflat)  # flat update path (algos/common.py)
                 # fold inside the loss; L2 + spectral regs see RAW kernels
                 # like the reference's named_parameters traversal
                 loss = jnp.mean(
@@ -305,13 +310,17 @@ def _train_one(cfg: Config, agents, states, i: int, data: Horizon,
                                                idxs_c)
         return (actor, aopt, critic, copt), (alosses[-1], closses[-1])
 
+    flat_a, unravel_a = ravel_pytree(state.actor)
+    flat_c0, unravel_c = ravel_pytree(state.critic)
+
     ekeys = jax.random.split(key, cfg.K_epochs)
     (actor, aopt, critic, copt), (alosses, closses) = jax.lax.scan(
-        epoch_body, (state.actor, state.actor_opt, state.critic,
+        epoch_body, (flat_a, state.actor_opt, flat_c0,
                      state.critic_opt), ekeys)
 
     new_state = PPOState(
-        actor=actor, critic=critic, actor_opt=aopt, critic_opt=copt,
+        actor=unravel_a(actor), critic=unravel_c(critic),
+        actor_opt=aopt, critic_opt=copt,
         entropy_coef=entropy_coef, total_it=state.total_it + 1,
     )
     return new_state, {"actor_loss": alosses[-1], "critic_loss": closses[-1]}

@@ -16,12 +16,14 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from jax.flatten_util import ravel_pytree
+
 from ..utils.config import Config
 from ..models import mlp
 from . import regularizers
-from .common import make_optimizer, mse, pmean_if, soft_update
+from .common import flat_init, flat_polyak, make_optimizer, mse, pmean_if
 from .replay import Batch
-from .td3 import STACK_CRITIC_FWDS, ModelDefs
+from .td3 import ModelDefs
 
 
 @struct.dataclass
@@ -80,8 +82,9 @@ class SACAgent:
         return SACState(
             actor=actor, critic=critic,
             critic_target=jax.tree.map(jnp.copy, critic),
-            actor_opt=self.actor_tx.init(actor),
-            critic_opt=self.critic_tx.init(critic),
+            # flat-space optimizer states (algos/common.py module docstring)
+            actor_opt=flat_init(self.actor_tx, actor),
+            critic_opt=flat_init(self.critic_tx, critic),
             log_alpha=log_alpha,
             alpha_opt=self.alpha_tx.init(log_alpha),
             total_it=jnp.zeros((), jnp.int32),
@@ -163,29 +166,18 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
     c_obs = (jnp.concatenate(batch.obs, axis=-1) if agent.is_ctde else obs)
     c_act = (jnp.concatenate(batch.act, axis=-1) if agent.is_ctde else act)
 
-    # ----- critic update (sac.py:155-170) — stacked path: the four twin-Q
-    # evaluations (target net1/net2 on (s', a'), current net1/net2 on
-    # (s, a)) run as ONE vmapped single-net forward (see td3.py _train_one)
+    # ----- critic update (sac.py:155-170)
     tpf = agent.fold_critic(state.critic_target)
-    split = agent.defs.critic_split
-    single_def = (agent.defs.critic_single_fast if agent.use_fold
-                  else agent.defs.critic_single)
 
-    def critic_loss_fn(cp):
+    flat_c, unravel_c = ravel_pytree(state.critic)
+
+    def critic_loss_fn(cflat):
+        cp = unravel_c(cflat)  # flat update path (algos/common.py)
         # fold inside the loss: grads flow through the projection, spectral
         # reg sees raw weights (see td3.py critic_loss_fn)
         cpf = agent.fold_critic(cp)
-        if split is not None and STACK_CRITIC_FWDS:
-            t1, t2 = split(tpf)
-            c1, c2 = split(cpf)
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), t1, t2, c1, c2)
-            so = jnp.stack([t_obs, t_obs, c_obs, c_obs])
-            sa = jnp.stack([t_act, t_act, c_act, c_act])
-            q = jax.vmap(single_def.apply)(stacked, so, sa)      # (4, B, 1)
-            tq1, tq2, q1, q2 = q[0], q[1], q[2], q[3]
-        else:
-            tq1, tq2 = agent.critic_apply_def.apply(tpf, t_obs, t_act)
-            q1, q2 = agent.critic_apply_def.apply(cpf, c_obs, c_act)
+        tq1, tq2 = agent.critic_apply_def.apply(tpf, t_obs, t_act)
+        q1, q2 = agent.critic_apply_def.apply(cpf, c_obs, c_act)
         target_q = jax.lax.stop_gradient(
             rwd + cfg.discount * (1.0 - done)
             * (jnp.minimum(tq1, tq2) - alpha * logp_next))
@@ -196,24 +188,22 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                 ws, ks[2], extras)
         return loss
 
-    closs, cgrad = jax.value_and_grad(critic_loss_fn)(state.critic)
+    closs, cgrad = jax.value_and_grad(critic_loss_fn)(flat_c)
     cgrad = pmean_if(cgrad, axis_name)
-    cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, state.critic)
-    critic = optax.apply_updates(state.critic, cupd)
+    cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, flat_c)
+    flat_c_new = optax.apply_updates(flat_c, cupd)
+    critic = unravel_c(flat_c_new)
 
     # ----- actor update (sac.py:172-203)
     critic_f = agent.fold_critic(critic)  # constant inside the actor loss
-    if split is not None and STACK_CRITIC_FWDS:
-        c12 = jax.tree.map(lambda a, b: jnp.stack([a, b]), *split(critic_f))
 
-        def q12_fn(o, a):
-            q = jax.vmap(single_def.apply, in_axes=(0, None, None))(c12, o, a)
-            return q[0], q[1]
-    else:
-        def q12_fn(o, a):
-            return agent.critic_apply_def.apply(critic_f, o, a)
+    def q12_fn(o, a):
+        return agent.critic_apply_def.apply(critic_f, o, a)
 
-    def actor_loss_fn(ap):
+    flat_a, unravel_a = ravel_pytree(state.actor)
+
+    def actor_loss_fn(aflat):
+        ap = unravel_a(aflat)  # flat update path (algos/common.py)
         apf = agent.fold_actor(ap)  # one fold, fanned out to all forwards
         if agent.is_ctde:
             acts = []
@@ -261,10 +251,10 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         return loss, logp
 
     (aloss, logp), agrad = jax.value_and_grad(actor_loss_fn, has_aux=True)(
-        state.actor)
+        flat_a)
     agrad = pmean_if(agrad, axis_name)
-    aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt, state.actor)
-    actor = optax.apply_updates(state.actor, aupd)
+    aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt, flat_a)
+    actor = unravel_a(optax.apply_updates(flat_a, aupd))
 
     # ----- entropy temperature (sac.py:205-217)
     if cfg.automatic_entropy_tuning:
@@ -283,7 +273,8 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
     # ----- delayed target-critic update (sac.py:219-221)
     ctgt = jax.lax.cond(
         total_it % cfg.policy_update_freq == 0,
-        lambda _: soft_update(state.critic_target, critic, cfg.tau),
+        lambda _: flat_polyak(state.critic_target, flat_c_new, cfg.tau,
+                              unravel_c),
         lambda _: state.critic_target, None)
 
     new_state = SACState(

@@ -23,19 +23,20 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from jax.flatten_util import ravel_pytree
+
 from ..utils.config import Config
 from . import regularizers
-from .common import make_optimizer, mse, pmean_if, soft_update
+from .common import flat_init, flat_polyak, make_optimizer, mse, pmean_if
 from .replay import Batch
 
 
-# Evaluate the update's four twin-Q forwards as ONE vmapped forward over
-# stacked params.  Measured OFF on TPU v5e: any op carrying a leading
-# params-batch dim (gathers, batched dot_generals) lowers poorly there —
-# stacking costs +6.5 ms/update on the flagship (scripts/update_path_probe
-# full vs no_stack) even with the scatter-free bilinear.  The code path is
-# kept (and equivalence-tested) because the trade-off is backend-specific.
-STACK_CRITIC_FWDS = False
+# Negative result (round 4, kept as a DESIGN.md note + probe history):
+# evaluating the update's four twin-Q forwards as ONE vmapped forward over
+# stacked params measured +6.5 ms/update on TPU v5e — ops carrying a leading
+# params-batch dim (gathers, batched dot_generals) lower poorly there.  The
+# stacked code path was removed; ``critic_split``/``critic_single`` stay for
+# the LIVE optimization below (actor loss evaluates net1 only).
 
 
 class ModelDefs(NamedTuple):
@@ -122,8 +123,12 @@ class TD3Agent:
             actor=actor, critic=critic,
             actor_target=jax.tree.map(jnp.copy, actor),
             critic_target=jax.tree.map(jnp.copy, critic),
-            actor_opt=self.actor_tx.init(actor),
-            critic_opt=self.critic_tx.init(critic),
+            # optimizer states live in the FLAT parameter space (see
+            # algos/common.py module docstring); params/targets stay trees
+            # so checkpoints, the .pth importer and every apply site are
+            # unchanged
+            actor_opt=flat_init(self.actor_tx, actor),
+            critic_opt=flat_init(self.critic_tx, critic),
             total_it=jnp.zeros((), jnp.int32),
         )
 
@@ -216,35 +221,24 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         c_obs, c_act = obs, act
 
     # ----- critic update (td3.py:138-171)
-    # Stacked path (critic_split set): the four twin-Q evaluations this
-    # update needs — target net1/net2 on (s', a') and current net1/net2 on
-    # (s, a) — run as ONE vmapped single-net forward over stacked params and
-    # inputs.  Per-network math is identical (the nets are row/slice
-    # independent); what changes is the op count: one forward+backward graph
-    # instance instead of four forwards + two backwards, which is what the
-    # EMLP learner's wall time is made of (scripts/update_path_probe.py:
-    # ~8.3 ms/update = ~4.4k-instruction HLO, overhead not FLOPs).
     tpf = agent.fold_critic(state.critic_target)
     split = agent.defs.critic_split
     single_def = (agent.defs.critic_single_fast if agent.use_fold
                   else agent.defs.critic_single)
 
-    def critic_loss_fn(cp):
+    flat_c, unravel_c = ravel_pytree(state.critic)
+
+    def critic_loss_fn(cflat):
+        # differentiate wrt the RAVELED params (flat update path,
+        # algos/common.py): the gradient comes back as one vector and the
+        # whole optimizer chain runs on it
+        cp = unravel_c(cflat)
         # fold INSIDE the loss so the gradient flows through the projection
         # (preserving the reference's full-space AdamW state, nn.py:26-36;
         # spectral reg sees the raw weights like the reference's traversal)
         cpf = agent.fold_critic(cp)
-        if split is not None and STACK_CRITIC_FWDS:
-            t1, t2 = split(tpf)
-            c1, c2 = split(cpf)
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), t1, t2, c1, c2)
-            so = jnp.stack([t_obs, t_obs, c_obs, c_obs])
-            sa = jnp.stack([t_act, t_act, c_act, c_act])
-            q = jax.vmap(single_def.apply)(stacked, so, sa)      # (4, B, 1)
-            tq1, tq2, q1, q2 = q[0], q[1], q[2], q[3]
-        else:
-            tq1, tq2 = _critic_apply_f(agent, tpf, t_obs, t_act)
-            q1, q2 = _critic_apply_f(agent, cpf, c_obs, c_act)
+        tq1, tq2 = _critic_apply_f(agent, tpf, t_obs, t_act)
+        q1, q2 = _critic_apply_f(agent, cpf, c_obs, c_act)
         target_q = jax.lax.stop_gradient(
             rwd + cfg.discount * (1.0 - done) * jnp.minimum(tq1, tq2))
         loss = mse(q1, target_q) + mse(q2, target_q)
@@ -254,10 +248,11 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                 ws, k_spec, extras)
         return loss
 
-    closs, cgrad = jax.value_and_grad(critic_loss_fn)(state.critic)
+    closs, cgrad = jax.value_and_grad(critic_loss_fn)(flat_c)
     cgrad = pmean_if(cgrad, axis_name)
-    cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, state.critic)
-    critic = optax.apply_updates(state.critic, cupd)
+    cupd, copt = agent.critic_tx.update(cgrad, state.critic_opt, flat_c)
+    flat_c_new = optax.apply_updates(flat_c, cupd)
+    critic = unravel_c(flat_c_new)
 
     total_it = state.total_it + 1
 
@@ -275,7 +270,10 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
             def q1_fn(o, a):
                 return _critic_apply_f(agent, critic_f, o, a)[0]
 
-        def actor_loss_fn(ap):
+        flat_a, unravel_a = ravel_pytree(state.actor)
+
+        def actor_loss_fn(aflat):
+            ap = unravel_a(aflat)
             # one fold; ONE actor forward serves the policy action AND both
             # CAPS comparisons — [obs; obs_next; obs+eps] stacked along the
             # batch (row-independent nets => per-row results identical to
@@ -308,13 +306,15 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
                 cfg, agent.agent_id, a_cur, a_nxt, a_prt)
             return loss
 
-        aloss, agrad = jax.value_and_grad(actor_loss_fn)(state.actor)
+        aloss, agrad = jax.value_and_grad(actor_loss_fn)(flat_a)
         agrad = pmean_if(agrad, axis_name)
-        aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt,
-                                           state.actor)
-        actor = optax.apply_updates(state.actor, aupd)
-        new_ct = soft_update(state.critic_target, critic, cfg.tau)
-        new_at = soft_update(state.actor_target, actor, cfg.tau)
+        aupd, aopt = agent.actor_tx.update(agrad, state.actor_opt, flat_a)
+        flat_a_new = optax.apply_updates(flat_a, aupd)
+        actor = unravel_a(flat_a_new)
+        new_ct = flat_polyak(state.critic_target, flat_c_new, cfg.tau,
+                             unravel_c)
+        new_at = flat_polyak(state.actor_target, flat_a_new, cfg.tau,
+                             unravel_a)
         return actor, aopt, new_at, new_ct, aloss
 
     def skip_actor(_):
