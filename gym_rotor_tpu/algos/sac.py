@@ -124,19 +124,23 @@ class SACAgent:
 
 def train_step(cfg: Config, agents: Sequence[SACAgent],
                states: List[SACState], batch: Batch, key: jax.Array,
-               axis_name: str = None):
+               axis_name: str = None, gate_now: bool = None):
+    """``gate_now``: static placement of the delayed target-critic Polyak
+    update (sac.py:219-221) — None = runtime lax.cond, True/False = compile
+    the branch statically (see td3.train_step for the contract)."""
     new_states = list(states)
     metrics = {}
     for i in range(len(agents)):
         key, sub = jax.random.split(key)
         new_states[i], m = _train_one(cfg, agents, new_states, i, batch, sub,
-                                      axis_name)
+                                      axis_name, gate_now)
         metrics.update({f"agent{i}/{k}": v for k, v in m.items()})
     return new_states, metrics
 
 
 def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
-               key: jax.Array, axis_name: str = None):
+               key: jax.Array, axis_name: str = None,
+               gate_now: bool = None):
     agent = agents[i]
     state = states[i]
     ks = jax.random.split(key, 6)
@@ -271,11 +275,18 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
 
     total_it = state.total_it + 1
     # ----- delayed target-critic update (sac.py:219-221)
-    ctgt = jax.lax.cond(
-        total_it % cfg.policy_update_freq == 0,
-        lambda _: flat_polyak(state.critic_target, flat_c_new, cfg.tau,
-                              unravel_c),
-        lambda _: state.critic_target, None)
+    def do_polyak(_):
+        return flat_polyak(state.critic_target, flat_c_new, cfg.tau,
+                           unravel_c)
+
+    if gate_now is None:
+        ctgt = jax.lax.cond(
+            total_it % cfg.policy_update_freq == 0,
+            do_polyak, lambda _: state.critic_target, None)
+    elif gate_now:
+        ctgt = do_polyak(None)
+    else:
+        ctgt = state.critic_target
 
     new_state = SACState(
         actor=actor, critic=critic, critic_target=ctgt,

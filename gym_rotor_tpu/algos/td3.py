@@ -164,26 +164,37 @@ def _critic_apply_f(agent: TD3Agent, folded_params, obs, act):
 
 def train_step(cfg: Config, agents: Sequence[TD3Agent],
                states: List[TD3State], batch: Batch, key: jax.Array,
-               axis_name: str = None):
+               axis_name: str = None, gate_now: bool = None):
     """One TD3 update for every agent (reference trains each agent per env
     step, main.py:191-202).  Returns (new_states, metrics).
 
     ``axis_name``: when called inside shard_map/pmap over a data-parallel
     mesh axis, gradients are pmean-reduced over it before the optimizer
     update (replicated params + sharded batch => MATD3 data parallelism).
+
+    ``gate_now``: static placement of the delayed actor/target branch
+    (td3.py:177).  ``None`` keeps the reference-faithful runtime gate
+    (lax.cond on total_it % policy_update_freq); True/False compile the
+    taken/skipped branch STATICALLY — callers that schedule updates in
+    freq-aligned groups (parallel/train_step.py) pass the position's truth
+    value, removing the cond's fusion boundary from the scan body.  Only
+    valid when the caller guarantees gate_now == (total_it % freq == 0)
+    for the update being applied; results are then bit-identical
+    (tests/test_algos.py::test_static_gate_matches_runtime_cond).
     """
     new_states = list(states)
     metrics = {}
     for i, agent in enumerate(agents):
         key, sub = jax.random.split(key)
         new_states[i], m = _train_one(cfg, agents, new_states, i, batch, sub,
-                                      axis_name)
+                                      axis_name, gate_now)
         metrics.update({f"agent{i}/{k}": v for k, v in m.items()})
     return new_states, metrics
 
 
 def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
-               key: jax.Array, axis_name: str = None):
+               key: jax.Array, axis_name: str = None,
+               gate_now: bool = None):
     agent = agents[i]
     state = states[i]
     k_noise, k_caps, k_spec, k_spec2 = jax.random.split(key, 4)
@@ -321,8 +332,14 @@ def _train_one(cfg: Config, agents, states, i: int, batch: Batch,
         return (state.actor, state.actor_opt, state.actor_target,
                 state.critic_target, jnp.zeros((), jnp.float32))
 
-    actor, aopt, atgt, ctgt, aloss = jax.lax.cond(
-        total_it % cfg.policy_update_freq == 0, do_actor, skip_actor, None)
+    if gate_now is None:
+        actor, aopt, atgt, ctgt, aloss = jax.lax.cond(
+            total_it % cfg.policy_update_freq == 0, do_actor, skip_actor,
+            None)
+    elif gate_now:
+        actor, aopt, atgt, ctgt, aloss = do_actor(None)
+    else:
+        actor, aopt, atgt, ctgt, aloss = skip_actor(None)
 
     new_state = TD3State(
         actor=actor, critic=critic, actor_target=atgt, critic_target=ctgt,

@@ -41,6 +41,12 @@ class BatchedStepOut(NamedTuple):
     info: dict
 
 
+# Sparse auto-reset (see batched_step): compute fresh episode states only
+# for the envs that actually finished this tick.  Module-level so tests can
+# force the dense formulation and assert bitwise equality.
+SPARSE_RESET = True
+
+
 def _obs_tuple(cfg: Config, obs):
     return obs if cfg.framework == "MODUL" else (obs,)
 
@@ -116,8 +122,6 @@ def batched_step(cfg: Config, bstate: BatchedEnvState, actions,
         ns, obs = quad.initial_obs(cfg, ns)
         return ns, ts, obs
 
-    fresh_env, fresh_traj, fresh_obs = jax.vmap(fresh)(env2)
-
     def sel(flag, new, old):
         return jax.tree.map(
             lambda a, b: jnp.where(
@@ -125,14 +129,55 @@ def batched_step(cfg: Config, bstate: BatchedEnvState, actions,
             new, old,
         )
 
-    env_next = sel(episode_over, fresh_env, env2)
-    traj_next = sel(episode_over, fresh_traj, traj)
     obs_cur = _obs_tuple(cfg, out.obs)
-    obs_fresh = _obs_tuple(cfg, fresh_obs)
-    obs_next = tuple(
-        jnp.where(episode_over[..., None], f, c)
-        for f, c in zip(obs_fresh, obs_cur)
-    )
+
+    def dense_reset(_):
+        """Fresh state for EVERY env, select the finished ones — the
+        original formulation, kept as the overflow branch (and for tiny
+        batches where lane compaction can't pay)."""
+        fresh_env, fresh_traj, fresh_obs = jax.vmap(fresh)(env2)
+        env_next = sel(episode_over, fresh_env, env2)
+        traj_next = sel(episode_over, fresh_traj, traj)
+        obs_next = tuple(
+            jnp.where(episode_over[..., None], f, c)
+            for f, c in zip(_obs_tuple(cfg, fresh_obs), obs_cur)
+        )
+        return env_next, traj_next, obs_next
+
+    # Sparse auto-reset (round 5): computing a full fresh reset for every
+    # env every tick was HALF the tick's wall time at every batch size
+    # (env_ceiling_probe full vs no_reset: 42.8 -> 23.0 us @ 4096,
+    # 575.6 -> 284.1 us @ 65536, docs/bench/env_ceiling_probe.json), while
+    # resets are rare (one per episode).  So: compact the finished envs'
+    # indices into S = B/16 lanes (jnp.nonzero with a static size),
+    # compute fresh states ONLY for those lanes, and scatter them back.
+    # Per-lane the fresh computation is the identical elementwise chain, so
+    # results are BITWISE equal to the dense formulation
+    # (tests/test_batch.py::test_sparse_reset_matches_dense).  When more
+    # than S envs finish in one tick (synchronized episode-cap waves, early
+    # crash storms) a lax.cond falls back to the dense branch — exactness
+    # never degrades, only that tick's speed.  The cond sits at the tick
+    # boundary, outside the fused step math (cf. the no-cond rule for the
+    # *inner* step, CLAUDE.md): measured cost ~nil vs the dense-only
+    # formulation's reset work.
+    B = episode_over.shape[0]
+    S = max(B // 16, 1)
+    if not SPARSE_RESET or S >= B or B < 64:
+        env_next, traj_next, obs_next = dense_reset(None)
+    else:
+        def sparse_reset(_):
+            idx = jnp.nonzero(episode_over, size=S, fill_value=B)[0]
+            sub = jax.tree.map(lambda a: a[jnp.minimum(idx, B - 1)], env2)
+            f_env, f_traj, f_obs = jax.vmap(fresh)(sub)
+            scat = lambda full, s: full.at[idx].set(s, mode="drop")
+            env_next = jax.tree.map(scat, env2, f_env)
+            traj_next = jax.tree.map(scat, traj, f_traj)
+            obs_next = tuple(
+                scat(c, f) for f, c in zip(_obs_tuple(cfg, f_obs), obs_cur))
+            return env_next, traj_next, obs_next
+
+        env_next, traj_next, obs_next = jax.lax.cond(
+            jnp.sum(episode_over) <= S, sparse_reset, dense_reset, None)
 
     return (
         BatchedEnvState(env=env_next, traj=traj_next),

@@ -125,6 +125,48 @@ def test_td3_delayed_policy_update_gating():
         np.asarray(jax.tree.leaves(states[0].actor)[0]), np.asarray(a0))
 
 
+def test_static_gate_matches_runtime_cond():
+    """gate_now=True/False (static branch placement) computes the same
+    update as the runtime lax.cond path when the schedule matches
+    total_it % freq.  Same math, but inlining the branch changes XLA's
+    fusion grouping, so agreement is to fp summation order (measured max
+    1 ulp over 6 chained updates), not bitwise."""
+    cfg = mono_cfg()  # policy_update_freq = 3
+    agents = [td3_lib.TD3Agent(cfg, 0, zoo.td3_models(cfg, 0))]
+    s_cond = [agents[0].init(jax.random.PRNGKey(0))]
+    s_stat = jax.tree.map(jnp.copy, s_cond)
+    batch = fake_batch(cfg)
+    step = jax.jit(
+        lambda st, b, k, g: td3_lib.train_step(cfg, agents, st, b, k,
+                                               gate_now=g),
+        static_argnums=(3,))
+    freq = cfg.policy_update_freq
+    for it in range(6):
+        k = jax.random.PRNGKey(it)
+        s_cond, _ = step(s_cond, batch, k, None)
+        s_stat, _ = step(s_stat, batch, k, (it + 1) % freq == 0)
+    for a, b in zip(jax.tree.leaves(s_cond), jax.tree.leaves(s_stat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # SAC's delayed target-critic gate, same contract
+    cfg_s = mono_cfg()
+    ag = [sac_lib.SACAgent(cfg_s, 0, zoo.sac_models(cfg_s, 0))]
+    c_cond = [ag[0].init(jax.random.PRNGKey(0))]
+    c_stat = jax.tree.map(jnp.copy, c_cond)
+    step_s = jax.jit(
+        lambda st, b, k, g: sac_lib.train_step(cfg_s, ag, st, b, k,
+                                               gate_now=g),
+        static_argnums=(3,))
+    for it in range(6):
+        k = jax.random.PRNGKey(100 + it)
+        c_cond, _ = step_s(c_cond, batch, k, None)
+        c_stat, _ = step_s(c_stat, batch, k, (it + 1) % freq == 0)
+    for a, b in zip(jax.tree.leaves(c_cond), jax.tree.leaves(c_stat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_td3_choose_action_bounds():
     cfg = mono_cfg()
     agent = td3_lib.TD3Agent(cfg, 0, zoo.td3_models(cfg, 0))
