@@ -41,12 +41,6 @@ class BatchedStepOut(NamedTuple):
     info: dict
 
 
-# Sparse auto-reset (see batched_step): compute fresh episode states only
-# for the envs that actually finished this tick.  Module-level so tests can
-# force the dense formulation and assert bitwise equality.
-SPARSE_RESET = True
-
-
 def _obs_tuple(cfg: Config, obs):
     return obs if cfg.framework == "MODUL" else (obs,)
 
@@ -131,53 +125,25 @@ def batched_step(cfg: Config, bstate: BatchedEnvState, actions,
 
     obs_cur = _obs_tuple(cfg, out.obs)
 
-    def dense_reset(_):
-        """Fresh state for EVERY env, select the finished ones — the
-        original formulation, kept as the overflow branch (and for tiny
-        batches where lane compaction can't pay)."""
-        fresh_env, fresh_traj, fresh_obs = jax.vmap(fresh)(env2)
-        env_next = sel(episode_over, fresh_env, env2)
-        traj_next = sel(episode_over, fresh_traj, traj)
-        obs_next = tuple(
-            jnp.where(episode_over[..., None], f, c)
-            for f, c in zip(_obs_tuple(cfg, fresh_obs), obs_cur)
-        )
-        return env_next, traj_next, obs_next
-
-    # Sparse auto-reset (round 5): computing a full fresh reset for every
-    # env every tick was HALF the tick's wall time at every batch size
-    # (env_ceiling_probe full vs no_reset: 42.8 -> 23.0 us @ 4096,
-    # 575.6 -> 284.1 us @ 65536, docs/bench/env_ceiling_probe.json), while
-    # resets are rare (one per episode).  So: compact the finished envs'
-    # indices into S = B/16 lanes (jnp.nonzero with a static size),
-    # compute fresh states ONLY for those lanes, and scatter them back.
-    # Per-lane the fresh computation is the identical elementwise chain, so
-    # results are BITWISE equal to the dense formulation
-    # (tests/test_batch.py::test_sparse_reset_matches_dense).  When more
-    # than S envs finish in one tick (synchronized episode-cap waves, early
-    # crash storms) a lax.cond falls back to the dense branch — exactness
-    # never degrades, only that tick's speed.  The cond sits at the tick
-    # boundary, outside the fused step math (cf. the no-cond rule for the
-    # *inner* step, CLAUDE.md): measured cost ~nil vs the dense-only
-    # formulation's reset work.
-    B = episode_over.shape[0]
-    S = max(B // 16, 1)
-    if not SPARSE_RESET or S >= B or B < 64:
-        env_next, traj_next, obs_next = dense_reset(None)
-    else:
-        def sparse_reset(_):
-            idx = jnp.nonzero(episode_over, size=S, fill_value=B)[0]
-            sub = jax.tree.map(lambda a: a[jnp.minimum(idx, B - 1)], env2)
-            f_env, f_traj, f_obs = jax.vmap(fresh)(sub)
-            scat = lambda full, s: full.at[idx].set(s, mode="drop")
-            env_next = jax.tree.map(scat, env2, f_env)
-            traj_next = jax.tree.map(scat, traj, f_traj)
-            obs_next = tuple(
-                scat(c, f) for f, c in zip(_obs_tuple(cfg, f_obs), obs_cur))
-            return env_next, traj_next, obs_next
-
-        env_next, traj_next, obs_next = jax.lax.cond(
-            jnp.sum(episode_over) <= S, sparse_reset, dense_reset, None)
+    # Dense formulation on purpose: fresh state for EVERY env, select the
+    # finished ones.  A "sparse" auto-reset (compact finished indices into
+    # S = B/16 lanes with jnp.nonzero, compute fresh states there, scatter
+    # back) was tried in round 5 and is a measured 6-10x REGRESSION on the
+    # chip: the dynamic-index gather/scatter over the state pytree breaks
+    # whole-step fusion (dense 94.7M vs sparse 9.8M steps/s @ 4096; even
+    # without the overflow lax.cond, 15.0M — docs/bench/
+    # env_ceiling_probe.json, scripts/env_ceiling_probe.py --variants
+    # sparse,sparse_nocond, rationale in docs/DESIGN.md §1.4).  The dense
+    # reset chain is elementwise per env, so XLA fuses it into the step;
+    # its cost is ~half the tick, which the roofline note shows is serial
+    # op-issue, not FLOPs or HBM.
+    fresh_env, fresh_traj, fresh_obs = jax.vmap(fresh)(env2)
+    env_next = sel(episode_over, fresh_env, env2)
+    traj_next = sel(episode_over, fresh_traj, traj)
+    obs_next = tuple(
+        jnp.where(episode_over[..., None], f, c)
+        for f, c in zip(_obs_tuple(cfg, fresh_obs), obs_cur)
+    )
 
     return (
         BatchedEnvState(env=env_next, traj=traj_next),

@@ -1,13 +1,17 @@
 """Decompose the env engine's per-tick cost (VERDICT r3 #6).
 
-Times three rollout variants at several batch sizes with the slope method:
+Times rollout variants at several batch sizes with the slope method:
 
-  full      — envs.batch.rollout exactly as the benchmark runs it
-  no_reset  — same tick minus the auto-reset branch (fresh reset states
-              computed for every env every tick in the full path); upper
-              bound on what reset pooling / masking could reclaim
-  dyn_only  — trajectory goal + quad.step only (no reset, no episode-cap
-              bookkeeping): the irreducible physics+obs cost
+  full          — envs.batch.batched_step exactly as the benchmark runs it
+                  (dense compute-all-then-select auto-reset)
+  no_reset      — same tick minus the auto-reset branch; upper bound on
+                  what a cheaper reset formulation could reclaim
+  dyn_only      — trajectory goal + quad.step only (no reset, no
+                  episode-cap bookkeeping): the irreducible physics+obs cost
+  sparse        — the REJECTED round-5 sparse auto-reset (gather finished
+                  envs into S lanes + overflow lax.cond); measurement-only
+  sparse_nocond — same without the cond (semantics-breaking; isolates the
+                  cond's cost from the gather/scatter's)
 
 Prints one JSON line per (variant, num_envs).
 Usage: python scripts/env_ceiling_probe.py [--envs 4096,65536] [--steps 1000]
@@ -35,6 +39,73 @@ def make_step(cfg, variant):
     if variant == "full":
         def step(bs, actions):
             return batch_lib.batched_step(cfg, bs, actions)
+        return step
+
+    if variant in ("sparse", "sparse_nocond"):
+        # The rejected round-5 "sparse auto-reset": compact the finished
+        # envs' indices into S = B/16 lanes, compute fresh states only
+        # there, scatter back.  Kept here MEASUREMENT-ONLY as the negative
+        # result's reproduction: the dynamic-index gather/scatter over the
+        # state pytree breaks whole-step fusion and loses 6-10x to the
+        # dense compute-all-then-select formulation that ships
+        # (docs/DESIGN.md §1.4).  "sparse" includes the overflow lax.cond
+        # falling back to dense (the semantics-complete form);
+        # "sparse_nocond" drops the cond (envs beyond S in one tick would
+        # linger unreset — semantics-breaking, isolates the cond's
+        # fusion-boundary cost from the gather/compute/scatter cost).
+        def step(bs, actions):
+            from gym_rotor_tpu.envs.batch import BatchedEnvState
+            from gym_rotor_tpu.envs.trajectory import (TrajState,
+                                                       mark_traj_start)
+
+            def desired(ts, s):
+                return get_desired(ts, s.x, s.v, s.R, s.W,
+                                   cfg.train_traj_mode)
+            traj, goal = jax.vmap(desired)(bs.traj, bs.env)
+            env = bs.env.replace(goal=goal)
+            env2, out = jax.vmap(lambda s, a: quad.step(cfg, s, a))(env,
+                                                                    actions)
+            at_cap = env2.t >= cfg.max_steps
+            episode_over = jnp.any(out.done, axis=-1) | at_cap
+            B = episode_over.shape[0]
+            S = max(B // 16, 1)
+
+            def fresh(s):
+                k1, k2 = jax.random.split(s.key)
+                ns = quad.reset_state(cfg, k1, "train", s.x.dtype)
+                ts = TrajState.create(k2, s.x.dtype)
+                ts = mark_traj_start(ts, ns.x, ns.R)
+                ts, goal = get_desired(ts, ns.x, ns.v, ns.R, ns.W,
+                                       cfg.train_traj_mode)
+                ns = ns.replace(goal=goal)
+                ns, obs = quad.initial_obs(cfg, ns)
+                return ns, ts, obs
+
+            def sparse_reset(_):
+                idx = jnp.nonzero(episode_over, size=S, fill_value=B)[0]
+                sub = jax.tree.map(lambda a: a[jnp.minimum(idx, B - 1)],
+                                   env2)
+                f_env, f_traj, _ = jax.vmap(fresh)(sub)
+                scat = lambda full, s: full.at[idx].set(s, mode="drop")
+                env_next = jax.tree.map(scat, env2, f_env)
+                traj_next = jax.tree.map(scat, traj, f_traj)
+                return env_next, traj_next
+
+            def dense_reset(_):
+                f_env, f_traj, _ = jax.vmap(fresh)(env2)
+                sel = lambda a, b: jnp.where(
+                    episode_over.reshape(
+                        episode_over.shape + (1,) * (a.ndim - 1)), a, b)
+                return (jax.tree.map(sel, f_env, env2),
+                        jax.tree.map(sel, f_traj, traj))
+
+            if variant == "sparse_nocond":
+                env_next, traj_next = sparse_reset(None)
+            else:
+                env_next, traj_next = jax.lax.cond(
+                    jnp.sum(episode_over) <= S, sparse_reset, dense_reset,
+                    None)
+            return BatchedEnvState(env=env_next, traj=traj_next), out
         return step
 
     def step(bs, actions):

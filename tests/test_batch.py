@@ -126,49 +126,3 @@ def test_end_to_end_training_determinism():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_sparse_reset_matches_dense():
-    """The sparse auto-reset (gather the finished envs into S lanes, compute
-    fresh states there, scatter back) must be BITWISE identical to the dense
-    compute-all-then-select formulation under jit, in both the R <= S
-    (sparse taken) and R > S (dense fallback) regimes.  Comparison is under
-    jit because that is the only path production runs; eager lax.cond
-    compiles its branch while eager ops run one-by-one, which perturbs libm
-    kernels at the ulp level."""
-    cfg = Config(framework="MODUL", num_envs=128, max_steps=6)
-    bs0, _ = batch.batched_reset(cfg, jax.random.PRNGKey(5))
-    # stagger the episode clocks: envs 0..5 hit the cap alone on ticks 1..6
-    # (0 < R <= S, sparse path); everyone else caps together later (R > S,
-    # dense fallback)
-    t0 = jnp.where(jnp.arange(128) < 6,
-                   cfg.max_steps - 1 - jnp.arange(128),
-                   jnp.zeros((), bs0.env.t.dtype)).astype(bs0.env.t.dtype)
-    bs0 = bs0.replace(env=bs0.env.replace(t=t0))
-    scale = jnp.linspace(-0.6, 0.25, 128)[:, None]
-    actions = scale * jnp.asarray([[1.0, -0.15, 0.2, -0.1]], jnp.float32)
-
-    old = batch.SPARSE_RESET
-    try:
-        batch.SPARSE_RESET = True
-        step_s = jax.jit(lambda bs: batch.batched_step(cfg, bs, actions))
-        step_s(bs0)  # trace with the sparse formulation
-        batch.SPARSE_RESET = False
-        step_d = jax.jit(lambda bs: batch.batched_step(cfg, bs, actions))
-        step_d(bs0)
-    finally:
-        batch.SPARSE_RESET = old
-
-    bs = bs0
-    per_tick = []
-    for _ in range(16):
-        bs_s, out_s = step_s(bs)
-        bs_d, out_d = step_d(bs)
-        for a, b in zip(jax.tree.leaves((bs_s, out_s)),
-                        jax.tree.leaves((bs_d, out_d))):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        per_tick.append(int(np.asarray(out_d.reset_happened).sum()))
-        bs = bs_d
-    per_tick = np.asarray(per_tick)
-    # both reset regimes actually occurred (S = 128 // 16 = 8)
-    assert per_tick.max() > 8, "expected a dense-fallback wave (R > S)"
-    assert ((per_tick > 0) & (per_tick <= 8)).any(), \
-        "expected at least one sparse-path tick (0 < R <= S)"
