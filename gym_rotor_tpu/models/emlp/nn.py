@@ -312,50 +312,8 @@ def _bilinear_struct(rep: SumRep):
     cat_idx = np.concatenate([t.indices for t in tg])
     pos = np.empty_like(cat_idx)
     pos[cat_idx] = np.arange(cat_idx.size)
-
-    # Regime-contiguous parameter permutation: the (type_out, type_in)
-    # loop-order layout above interleaves the regimes' slots, so reading a
-    # regime's weights was one static slice PER ENTRY (+ a stack) — the
-    # Mirror scalar tower's 61-entry col/row groups alone put ~500 slice
-    # ops in each MODUL2-critic forward and their pad-transposes in every
-    # backward (round-5 HLO census).  Instead: permute bi_params ONCE per
-    # forward (fixed_gather with a permutation => inverse-permutation
-    # backward), after which every regime block is one contiguous
-    # slice+reshape.  Values are bit-identical — the same weight scalars
-    # land in the same matrix slots, only the access pattern changes.  The
-    # stored parameter layout is untouched (checkpoints, the .pth
-    # importer's dense probe, and spectral_weights see the same vector).
-    segs = []
-    new_off = 0
-
-    def alloc(lo, size):
-        nonlocal new_off
-        segs.append(np.arange(lo, lo + size))
-        o = new_off
-        new_off += size
-        return o
-
-    for p in pairs:
-        p["off2"] = alloc(p["offset"], p["slots"] * p["n"])
-    for p in big:
-        p["off2"] = alloc(p["off"], tg[p["io"]].mult * tg[p["ii"]].mult)
-    for io, grp in col_groups.items():
-        for g in grp:
-            g["off2"] = alloc(g["off"], tg[io].mult)
-    for ii, grp in row_groups.items():
-        for g in grp:
-            g["off2"] = alloc(g["off"], tg[ii].mult)
-    if s1 is not None:
-        s1["off2"] = new_off
-        segs.append(np.asarray(s1["pidx"]))
-        new_off += len(s1["pidx"])
-    perm = (np.concatenate(segs) if segs
-            else np.zeros((0,), np.int64))
-    assert new_off == wdim and perm.size == wdim
-    if np.array_equal(perm, np.arange(wdim)):
-        perm = None  # already regime-contiguous (e.g. pairs-only towers)
     return tg, dict(pairs=pairs, big=big, col_groups=col_groups,
-                    row_groups=row_groups, s1=s1, pos=pos, perm=perm), wdim
+                    row_groups=row_groups, s1=s1, pos=pos), wdim
 
 
 class EquivBiLinear(nn.Module):
@@ -388,10 +346,6 @@ class EquivBiLinear(nn.Module):
             acc[io] = acc[io] + val if io in acc else val
 
         nin = xf.shape[-1]
-        # regime-contiguous access: permute the parameter vector once (see
-        # _bilinear_struct), then every regime block below is ONE slice
-        p2 = (params if st["perm"] is None
-              else fixed_gather(params, st["perm"], wdim))
         if st["pairs"]:
             # group x by type
             xg = {t.key: fixed_gather(xf, t.indices, nin)
@@ -401,7 +355,7 @@ class EquivBiLinear(nn.Module):
                 do, mo = to.atom.size, to.mult
                 di, mi = ti.atom.size, ti.mult
                 x_tau = xg[p["tau"]][:, p["sel"], :]        # (B, n, d_tau)
-                w = p2[p["off2"]:p["off2"] + p["slots"] * p["n"]]
+                w = params[p["offset"]:p["offset"] + p["slots"] * p["n"]]
                 w = w.reshape(mo * mi, p["n"])
                 blocks = jnp.einsum("kn,bnd->bkd", w, x_tau)
                 blocks = blocks.reshape(B, mo, mi, do, di)
@@ -410,7 +364,7 @@ class EquivBiLinear(nn.Module):
         for p in st["big"]:
             # scalar-gated matmul: out_to += x_gate * (x_ti @ W^T)
             to, ti = tg[p["io"]], tg[p["ii"]]
-            W = p2[p["off2"]:p["off2"] + to.mult * ti.mult]
+            W = params[p["off"]:p["off"] + to.mult * ti.mult]
             W = W.reshape(to.mult, ti.mult)
             add(p["io"],
                 (fixed_gather(xf, ti.indices, nin) @ W.T)
@@ -420,9 +374,8 @@ class EquivBiLinear(nn.Module):
             to = tg[io]
             cols = np.asarray([g["col"] for g in grp])
             gates = np.asarray([g["gate"] for g in grp])
-            J = len(grp)
-            Ws = p2[grp[0]["off2"]:grp[0]["off2"] + J * to.mult] \
-                .reshape(J, to.mult)                                 # (J,mo)
+            Ws = jnp.stack(
+                [params[g["off"]:g["off"] + to.mult] for g in grp])  # (J,mo)
             Z = (fixed_gather(xf, gates, nin)
                  * fixed_gather(xf, cols, nin))                      # (B,J)
             add(io, Z @ Ws)
@@ -437,16 +390,16 @@ class EquivBiLinear(nn.Module):
             # stacked mult_out==1 pairs: Y[:, j] = gate_j * (x_ti . w_j)
             ti = tg[ii]
             gates = np.asarray([g["gate"] for g in grp])
-            J = len(grp)
-            Wr = p2[grp[0]["off2"]:grp[0]["off2"] + J * ti.mult] \
-                .reshape(J, ti.mult).T                               # (mi,J)
+            Wr = jnp.stack(
+                [params[g["off"]:g["off"] + ti.mult] for g in grp],
+                axis=1)                                              # (mi,J)
             Y = (fixed_gather(xf, ti.indices, nin) @ Wr) \
                 * fixed_gather(xf, gates, nin)                       # (B,J)
             small_cols.append(Y)
             small_coords.append(np.asarray([tm_off[g["io"]] for g in grp]))
         s1 = st["s1"]
         if s1 is not None:
-            w1 = p2[s1["off2"]:s1["off2"] + len(s1["pidx"])]   # (P,)
+            w1 = params[s1["pidx"]]                            # (P,)
             contrib = (w1 * fixed_gather(xf, s1["sels"], nin)
                        * fixed_gather(xf, s1["cols"], nin))
             small_cols.append(contrib)
