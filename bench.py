@@ -89,6 +89,9 @@ def _run_bench(args):
 
     from gym_rotor_tpu.envs import batch
     from gym_rotor_tpu.utils.config import Config
+    from gym_rotor_tpu.utils.jax_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     cfg = Config(framework="MONO", integrator="rk4", num_envs=args.num_envs,
                  max_steps=4000)

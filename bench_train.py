@@ -20,6 +20,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from gym_rotor_tpu.utils.jax_cache import enable_compile_cache
+
+enable_compile_cache()
+
 from gym_rotor_tpu.algos import ppo as ppo_lib
 from gym_rotor_tpu.algos import sac as sac_lib
 from gym_rotor_tpu.algos import td3 as td3_lib

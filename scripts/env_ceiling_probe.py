@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from gym_rotor_tpu.utils.jax_cache import enable_compile_cache
+
+enable_compile_cache()
+
 from gym_rotor_tpu.envs import batch as batch_lib
 from gym_rotor_tpu.envs import quad
 from gym_rotor_tpu.envs.trajectory import get_desired

@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from gym_rotor_tpu.utils.jax_cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def fence(x):
     return float(jnp.sum(x))

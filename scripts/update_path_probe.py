@@ -33,6 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from gym_rotor_tpu.utils.jax_cache import enable_compile_cache
+
+enable_compile_cache()
+
 from gym_rotor_tpu.algos import td3 as td3_lib
 from gym_rotor_tpu.models import td3_models
 from gym_rotor_tpu.utils.config import Config

@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gym_rotor_tpu.utils.jax_cache import enable_compile_cache
+
+enable_compile_cache()
+
 from gym_rotor_tpu.algos import ppo as ppo_lib
 from gym_rotor_tpu.algos import replay as replay_lib
 from gym_rotor_tpu.algos import sac as sac_lib
