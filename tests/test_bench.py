@@ -80,3 +80,21 @@ def test_bench_train_json_protocol():
     assert rec["value"] > 0
     assert rec["model"] == "MONO-MLP-TD3"
     assert rec["updates_per_superstep"] == 2
+
+
+def test_compile_cache_enable_and_optout(tmp_path, monkeypatch):
+    """enable_compile_cache points jax at the given/env dir and creates it;
+    GYM_ROTOR_NO_COMPILE_CACHE=1 is a no-op returning None."""
+    import jax
+
+    from gym_rotor_tpu.utils.jax_cache import enable_compile_cache
+
+    d = tmp_path / "xla"
+    monkeypatch.delenv("GYM_ROTOR_NO_COMPILE_CACHE", raising=False)
+    got = enable_compile_cache(str(d))
+    assert got == str(d) and d.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(d)
+
+    monkeypatch.setenv("GYM_ROTOR_NO_COMPILE_CACHE", "1")
+    assert enable_compile_cache(str(tmp_path / "other")) is None
+    assert not (tmp_path / "other").exists()
