@@ -173,15 +173,44 @@ class Transition(NamedTuple):
     done: jnp.ndarray
 
 
+def scan_unroll(num_envs: int) -> int:
+    """Default tick-scan unroll factor.
+
+    The scanned tick is issue-bound below ~16k envs (DESIGN §1 roofline),
+    so unrolling lets XLA fuse ACROSS tick boundaries (tick t's reset
+    chain with tick t+1's dynamics) and cuts the per-tick kernel count.
+    Chip-measured sweep (round 5, MONO rk4, 1000-tick scans): at 1024 envs
+    56.0 -> 69.8M steps/s (unroll 16), at 4096 96.7 -> 106.7M (16), at
+    16384 +-2% (any), at 65536 no gain (compute-bound); unroll 32 COLLAPSES
+    small batches (1024: 25M, 4096: 41M — code bloat past the instruction
+    budget).  Unrolling replicates the same op sequence but widens XLA's
+    optimization scope (FMA contraction / fusion decisions differ), so
+    results are NOT bitwise under jit: measured <=2 ulp f32 per leaf over
+    a 40-tick rollout with discrete state identical — the same divergence
+    class as jit-vs-eager (DESIGN §2), which the parity strategy already
+    scopes out (parity tests run the eager f64 path; eager execution
+    ignores unroll).  The default is backend-gated: on CPU (the test
+    suite, the virtual multichip mesh) the 16x body only multiplies
+    compile time, so it stays 1 there."""
+    if jax.default_backend() == "cpu":
+        return 1
+    return 16 if num_envs <= 4096 else 1
+
+
 def rollout(cfg: Config, bstate: BatchedEnvState, obs: tuple, key: jax.Array,
-            policy_fn, policy_state, num_steps: int, env_type: str = "train"):
+            policy_fn, policy_state, num_steps: int, env_type: str = "train",
+            unroll: int = None):
     """Scan ``num_steps`` lockstep ticks with an arbitrary policy callback
     ``policy_fn(policy_state, obs_tuple, key) -> actions``.
 
     Returns (final bstate, final obs, stacked time-major Transitions,
     stacked BatchedStepOut).  One jit of this is the whole throughput
     benchmark and the actor half of the training superstep.
+    ``unroll``: tick-scan unroll factor; None = scan_unroll(num_envs).
     """
+    if unroll is None:
+        unroll = scan_unroll(cfg.num_envs)
+
     def body(carry, _):
         bs, ob, k = carry
         k, sub = jax.random.split(k)
@@ -193,5 +222,6 @@ def rollout(cfg: Config, bstate: BatchedEnvState, obs: tuple, key: jax.Array,
 
     (bstate, obs, _), (trs, outs) = jax.lax.scan(
         body, (bstate, obs, key), None, length=num_steps,
+        unroll=min(unroll, max(num_steps, 1)),
     )
     return bstate, obs, trs, outs

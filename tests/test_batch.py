@@ -126,3 +126,30 @@ def test_end_to_end_training_determinism():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+
+
+def test_rollout_unroll_equivalence():
+    """Explicit scan unroll must leave discrete state bit-identical and
+    float leaves within the documented jit FMA-contraction class (<= a few
+    ulp f32) of the unroll=1 rollout — the contract scan_unroll's chip
+    default relies on (envs/batch.py, DESIGN §1.5)."""
+    cfg = Config(framework="MONO", integrator="rk4", num_envs=64,
+                 max_steps=50)
+    bs, obs = jax.jit(lambda k: batch.batched_reset(cfg, k))(
+        jax.random.PRNGKey(0))
+
+    def pol(_, ob, key):
+        return jax.random.uniform(key, (64, 4), jnp.float32, -0.2, 0.2)
+
+    def run(unroll):
+        return jax.jit(lambda b, o, k: batch.rollout(
+            cfg, b, o, k, pol, None, 40, unroll=unroll))(
+                bs, obs, jax.random.PRNGKey(1))
+
+    o1, o4 = run(1), run(4)
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o4)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=0, atol=5e-6)
+        else:
+            np.testing.assert_array_equal(a, b)
